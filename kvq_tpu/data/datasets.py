@@ -1,0 +1,292 @@
+"""Dataset classes producing the same per-sample dict contract as the
+reference (channels-last arrays instead of torch CHW tensors).
+
+  - :class:`KVQDataset`       == ViewDecompositionDataset_KVQ
+        (fusion_datasets.py:930-1051): 4-column TXT annotations
+        ``filename,cls_label,dis_label,score``; emits ``fragment``
+        (imagenet_255-normalized mosaic), ``resize_video`` (CLIP-normalized
+        resize view), ``ori_fragment``, ``dis_label``, ``label``, ...
+  - :class:`SimpleVQADataset` == ViewDecompositionDataset_add_forSimpleVQA
+        (fusion_datasets.py:786-927): CSV with header ``filename,score``;
+        emits ``simpleVQA`` view + precomputed SlowFast ``feat``.
+  - :class:`GenericViewDataset` == ViewDecompositionDataset
+        (fusion_datasets.py:664-775): TXT ``filename,_,_,label``.
+
+Reference-name aliases are registered so reference YAML configs resolve
+unchanged (``data.train.type: ViewDecompositionDataset_KVQ``).
+"""
+
+from __future__ import annotations
+
+import csv
+import os.path as osp
+from typing import Any, Callable
+
+import numpy as np
+
+from ..core.registry import DATASETS
+from . import views as V
+from .decode import SyntheticVideoSource, decode_views, open_video
+from .fragments import get_spatial_fragments
+from .samplers import make_sampler
+
+
+def _filter_view_opts(sopt: dict) -> dict:
+    """Drop non-view keys before passing a sample_types entry to view fns."""
+    drop = {"clip_len", "frame_interval", "num_clips", "t_frag", "phase"}
+    return {k: v for k, v in sopt.items() if k not in drop}
+
+
+class _ViewDatasetBase:
+    """Common machinery: annotation list, samplers, per-sample RNG."""
+
+    def __init__(self, opt: dict, namelist=None):
+        self.opt = opt
+        self.weight = opt.get("weight", 0.5)
+        self.ann_file = opt["anno_file"]
+        self.data_prefix = opt.get("data_prefix", "")
+        self.sample_types: dict[str, dict] = opt["sample_types"]
+        self.phase = opt.get("phase", "test")
+        self.augment = opt.get("augment", False)
+        self.seed = int(opt.get("seed", 42))
+        self.namelist = namelist
+        # source_factory lets tests inject synthetic videos hermetically.
+        self.source_factory: Callable[[str], Any] = opt.get(
+            "source_factory", lambda path: open_video(path, pad_short=130)
+        )
+        self.video_infos: list[dict] = []
+        self._read_annotations()
+        scores = [vi["label"] for vi in self.video_infos]
+        self.max = max(scores) if scores else 0.0
+        self.min = min(scores) if scores else 0.0
+
+    # -- per-sample deterministic RNG (upgrade over the reference's global,
+    #    effectively-unseeded sampling state, SURVEY.md §5.1.12)
+    def _rng(self, index: int, epoch: int = 0) -> np.random.Generator:
+        return np.random.default_rng((self.seed, epoch, index))
+
+    def _read_annotations(self) -> None:
+        raise NotImplementedError
+
+    def _samplers(self, rng: np.random.Generator) -> dict:
+        return {k: make_sampler(s, rng=rng) for k, s in self.sample_types.items()}
+
+    def __len__(self) -> int:
+        return len(self.video_infos)
+
+
+@DATASETS.register("KVQDataset")
+class KVQDataset(_ViewDatasetBase):
+    def _read_annotations(self) -> None:
+        if isinstance(self.ann_file, list):
+            self.video_infos = self.ann_file
+            return
+        with open(self.ann_file, "r") as fin:
+            for line in fin:
+                filename, cls_label, dis_label, label = line.strip().split(",")
+                self.video_infos.append(
+                    dict(
+                        filename=osp.join(self.data_prefix, filename),
+                        label=float(label),
+                        cls_label=int(float(cls_label)),
+                        dis_label=int(float(dis_label)),
+                        video_name=filename,
+                    )
+                )
+
+    def __getitem__(self, index: int, epoch: int = 0) -> dict:
+        info = self.video_infos[index]
+        rng = self._rng(index, epoch)
+        is_train = self.phase == "train"
+        source = self.source_factory(info["filename"])
+        videos, frame_inds = decode_views(source, self._samplers(rng), is_train)
+
+        data: dict[str, Any] = {}
+        for stype, raw in videos.items():
+            sopt = _filter_view_opts(self.sample_types[stype])
+            frag = V.get_single_view(raw, stype, rng=rng, **sopt)
+            resize = V.get_resized_video(raw, **sopt)
+            data["fragment"] = V.normalize(frag, "imagenet_255")
+            data["resize_video"] = V.normalize(resize, "clip")
+            data["ori_fragment"] = get_spatial_fragments(raw, rng=rng, **sopt).astype(
+                np.float32
+            )
+            data["original_shape"] = raw.shape
+
+        data["num_clips"] = {k: s["num_clips"] for k, s in self.sample_types.items()}
+        data["clip_len"] = {k: s["clip_len"] for k, s in self.sample_types.items()}
+        data["frame_inds"] = frame_inds
+        data["dis_label"] = info["dis_label"]
+        data["label"] = info["label"]
+        data["name"] = info["filename"]
+        data["video_name"] = info["video_name"]
+        return data
+
+
+@DATASETS.register("SimpleVQADataset")
+class SimpleVQADataset(_ViewDatasetBase):
+    VIDEO_LENGTH_READ = 8  # reference fusion_datasets.py:860
+
+    def __init__(self, opt: dict, namelist=None):
+        self.data_prefix_3d = opt.get("data_prefix_3D", "")
+        self.feature_type = opt.get("feature_type", "SlowFast")
+        # feature_factory(video_name) -> (8, 2304) array, for hermetic tests
+        self.feature_factory = opt.get("feature_factory", None)
+        super().__init__(opt, namelist)
+
+    def _read_annotations(self) -> None:
+        if isinstance(self.ann_file, list):
+            self.video_infos = self.ann_file
+            return
+        with open(self.ann_file, newline="") as f:
+            reader = csv.reader(f)
+            next(reader)  # header row (reference fusion_datasets.py:840)
+            for row in reader:
+                self.video_infos.append(
+                    dict(
+                        filename=osp.join(self.data_prefix, row[0]),
+                        label=float(row[1]),
+                        video_name=row[0],
+                    )
+                )
+
+    def _load_features(self, video_name: str) -> np.ndarray:
+        n = self.VIDEO_LENGTH_READ
+        if self.feature_factory is not None:
+            return np.asarray(self.feature_factory(video_name), dtype=np.float32)
+        folder = osp.join(self.data_prefix_3d, video_name)
+        dims = {"Slow": 2048, "Fast": 256, "SlowFast": 2304}[self.feature_type]
+        feat = np.zeros((n, dims), dtype=np.float32)
+        for i in range(n):
+            if self.feature_type in ("Slow", "SlowFast"):
+                slow = np.load(
+                    osp.join(folder, f"feature_{i}_slow_feature.npy")
+                ).reshape(-1)
+            if self.feature_type in ("Fast", "SlowFast"):
+                fast = np.load(
+                    osp.join(folder, f"feature_{i}_fast_feature.npy")
+                ).reshape(-1)
+            if self.feature_type == "Slow":
+                feat[i] = slow
+            elif self.feature_type == "Fast":
+                feat[i] = fast
+            else:
+                feat[i] = np.concatenate([slow, fast])
+        return feat
+
+    def __getitem__(self, index: int, epoch: int = 0) -> dict:
+        info = self.video_infos[index]
+        rng = self._rng(index, epoch)
+        is_train = self.phase == "train"
+        source = self.source_factory(info["filename"])
+        videos, frame_inds = decode_views(source, self._samplers(rng), is_train)
+
+        data: dict[str, Any] = {}
+        for stype, raw in videos.items():
+            sopt = _filter_view_opts(self.sample_types[stype])
+            view = V.get_single_view(
+                raw, stype, rng=rng, phase=self.phase, **sopt
+            )
+            # Reference quirk (replicated): unit-scale ImageNet mean/std on
+            # raw 0-255 pixels, no /255 (fusion_datasets.py:811-812,901-903).
+            data[stype] = V.normalize(view, "imagenet_unit_on_255")
+
+        data["num_clips"] = {k: s["num_clips"] for k, s in self.sample_types.items()}
+        data["clip_len"] = {k: s["clip_len"] for k, s in self.sample_types.items()}
+        data["frame_inds"] = frame_inds
+        data["label"] = info["label"]
+        data["video_name"] = info["video_name"]
+        if "simpleVQA" in data:
+            data["feat"] = self._load_features(info["video_name"])
+        data["name"] = info["filename"]
+        return data
+
+
+@DATASETS.register("GenericViewDataset")
+class GenericViewDataset(_ViewDatasetBase):
+    def _read_annotations(self) -> None:
+        if isinstance(self.ann_file, list):
+            self.video_infos = self.ann_file
+            return
+        with open(self.ann_file, "r") as fin:
+            for line in fin:
+                parts = line.strip().split(",")
+                filename, label = parts[0], float(parts[-1])
+                self.video_infos.append(
+                    dict(
+                        filename=osp.join(self.data_prefix, filename),
+                        label=label,
+                        video_name=filename,
+                    )
+                )
+
+    def __getitem__(self, index: int, epoch: int = 0) -> dict:
+        info = self.video_infos[index]
+        rng = self._rng(index, epoch)
+        is_train = self.phase == "train"
+        source = self.source_factory(info["filename"])
+        videos, frame_inds = decode_views(source, self._samplers(rng), is_train)
+
+        data: dict[str, Any] = {}
+        for stype, raw in videos.items():
+            sopt = _filter_view_opts(self.sample_types[stype])
+            view = V.get_single_view(raw, stype, rng=rng, **sopt)
+            # 0-255 ImageNet normalization (reference fusion_datasets.py:687-688)
+            data[stype] = V.normalize(view, "imagenet_255")
+
+        data["num_clips"] = {k: s["num_clips"] for k, s in self.sample_types.items()}
+        data["clip_len"] = {k: s["clip_len"] for k, s in self.sample_types.items()}
+        data["frame_inds"] = frame_inds
+        data["label"] = info["label"]
+        data["video_name"] = info["video_name"]
+        data["name"] = info["filename"]
+        return data
+
+
+# Reference-name aliases so unmodified reference YAML configs resolve.
+ViewDecompositionDataset_KVQ = KVQDataset
+ViewDecompositionDataset_add_forSimpleVQA = SimpleVQADataset
+ViewDecompositionDataset = GenericViewDataset
+DATASETS.register("ViewDecompositionDataset_KVQ")(KVQDataset)
+DATASETS.register("ViewDecompositionDataset_add_forSimpleVQA")(SimpleVQADataset)
+DATASETS.register("ViewDecompositionDataset")(GenericViewDataset)
+
+
+def make_synthetic_opt(
+    n_videos: int = 4,
+    n_frames: int = 140,
+    height: int = 540,
+    width: int = 960,
+    sample_types: dict | None = None,
+    phase: str = "train",
+    seed: int = 0,
+    with_features: bool = False,
+) -> dict:
+    """Build a dataset opt backed by synthetic in-memory videos (hermetic)."""
+    ann = [
+        dict(
+            filename=f"synthetic_{i}.mp4",
+            label=float(i) / max(n_videos - 1, 1) * 4 + 1,
+            cls_label=i % 3,
+            dis_label=i % 4,
+            video_name=f"synthetic_{i}.mp4",
+        )
+        for i in range(n_videos)
+    ]
+    opt = {
+        "anno_file": ann,
+        "data_prefix": "",
+        "phase": phase,
+        "seed": seed,
+        "sample_types": sample_types or {},
+        "source_factory": lambda path: SyntheticVideoSource(
+            n_frames, height, width, seed=hash(path) % (2**31)
+        ),
+    }
+    if with_features:
+        opt["feature_factory"] = lambda name: np.random.default_rng(
+            abs(hash(name)) % (2**31)
+        ).normal(size=(8, 2304)).astype(np.float32)
+        opt["data_prefix_3D"] = ""
+        opt["feature_type"] = "SlowFast"
+    return opt

@@ -1,0 +1,181 @@
+"""Spatial fragment mosaic (DOVER/FastVQA "fragments").
+
+The reference builds the mosaic with a Python triple loop over
+grid cells x time groups (fusion_datasets.py:103-117) — the hot CPU loop of
+the whole input pipeline (SURVEY.md §2.5.5).  Here the same semantics are a
+*single gather*: we precompute per-time-group 2D index maps and index the
+video once.  A jax version of the gather is provided for on-device use.
+
+Semantics matched to reference ``get_spatial_fragments``
+(fusion_datasets.py:22-121):
+  - grid origins ``min(res//frag * i, res - fsize)``;
+  - per-(cell, time-group) jitter ``randint(0, grid_len - fsize)`` when the
+    grid cell is larger than the fragment, else 0;
+  - time groups of ``aligned`` frames share one jitter draw;
+  - bilinear upsample fallback when the video is smaller than the mosaic
+    (``fallback_type='upsample'``, ratio < 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # optional: only needed for the upsample fallback path
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def _grid_origins(res: int, frags: int, fsize: int) -> np.ndarray:
+    return np.array(
+        [min(res // frags * i, res - fsize) for i in range(frags)], dtype=np.int64
+    )
+
+
+def fragment_index_maps(
+    res_h: int,
+    res_w: int,
+    dur_t: int,
+    fragments_h: int = 7,
+    fragments_w: int = 7,
+    fsize_h: int = 32,
+    fsize_w: int = 32,
+    aligned: int = 32,
+    rng: np.random.Generator | None = None,
+    rnd_h: np.ndarray | None = None,
+    rnd_w: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build gather maps ``ymap, xmap`` of shape (Tg, Fh*fh, Fw*fw).
+
+    ``out[t, oy, ox] = video[t, ymap[t // aligned, oy, ox],
+    xmap[t // aligned, oy, ox]]`` reproduces the reference mosaic.
+    Jitters may be passed explicitly (``rnd_h/rnd_w`` of shape (Fh, Fw, Tg))
+    for golden tests against the reference semantics.
+    """
+    tgroups = dur_t // aligned
+    hgrids = _grid_origins(res_h, fragments_h, fsize_h)
+    wgrids = _grid_origins(res_w, fragments_w, fsize_w)
+    hlength, wlength = res_h // fragments_h, res_w // fragments_w
+
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if rnd_h is None:
+        if hlength > fsize_h:
+            rnd_h = rng.integers(
+                0, hlength - fsize_h, size=(fragments_h, fragments_w, tgroups)
+            )
+        else:
+            rnd_h = np.zeros((fragments_h, fragments_w, tgroups), dtype=np.int64)
+    if rnd_w is None:
+        if wlength > fsize_w:
+            rnd_w = rng.integers(
+                0, wlength - fsize_w, size=(fragments_h, fragments_w, tgroups)
+            )
+        else:
+            rnd_w = np.zeros((fragments_h, fragments_w, tgroups), dtype=np.int64)
+
+    # Source start per (cell_i, cell_j, tgroup).
+    ys = hgrids[:, None, None] + rnd_h  # (Fh, Fw, Tg)
+    xs = wgrids[None, :, None] + rnd_w  # (Fh, Fw, Tg)
+
+    dy = np.arange(fsize_h)
+    dx = np.arange(fsize_w)
+    # ymap[tg, i*fh + dy, j*fw + dx] = ys[i, j, tg] + dy
+    ymap = (ys[:, :, :, None, None] + dy[None, None, None, :, None]).astype(np.int64)
+    xmap = (xs[:, :, :, None, None] + dx[None, None, None, None, :]).astype(np.int64)
+    # -> (Tg, Fh, fh, Fw, fw)
+    ymap = np.broadcast_to(
+        ymap.transpose(2, 0, 3, 1, 4),
+        (tgroups, fragments_h, fsize_h, fragments_w, fsize_w),
+    ).reshape(tgroups, fragments_h * fsize_h, fragments_w * fsize_w)
+    xmap = np.broadcast_to(
+        xmap.transpose(2, 0, 3, 1, 4),
+        (tgroups, fragments_h, fsize_h, fragments_w, fsize_w),
+    ).reshape(tgroups, fragments_h * fsize_h, fragments_w * fsize_w)
+    return ymap, xmap
+
+
+def get_spatial_fragments(
+    video: np.ndarray,
+    fragments_h: int = 7,
+    fragments_w: int = 7,
+    fsize_h: int = 32,
+    fsize_w: int = 32,
+    aligned: int = 32,
+    fallback_type: str = "upsample",
+    rng: np.random.Generator | None = None,
+    rnd_h: np.ndarray | None = None,
+    rnd_w: np.ndarray | None = None,
+    **_: object,
+) -> np.ndarray:
+    """Fragment mosaic over a (T, H, W, C) uint8/float video (channels-last).
+
+    Returns (T, Fh*fh, Fw*fw, C).  Single-frame inputs use aligned=1
+    (reference fusion_datasets.py:39-40).
+    """
+    if video.shape[0] == 1:
+        aligned = 1
+    dur_t, res_h, res_w = video.shape[0], video.shape[1], video.shape[2]
+    size_h, size_w = fragments_h * fsize_h, fragments_w * fsize_w
+
+    ratio = min(res_h / size_h, res_w / size_w)
+    if fallback_type == "upsample" and ratio < 1:
+        # Bilinear upscale by 1/ratio, like reference F.interpolate
+        # (fusion_datasets.py:44-50); round-trips through float in [0,1].
+        new_h, new_w = int(res_h / ratio), int(res_w / ratio)
+        if cv2 is not None:
+            up = np.stack(
+                [
+                    cv2.resize(
+                        np.asarray(f, dtype=np.float32),
+                        (new_w, new_h),
+                        interpolation=cv2.INTER_LINEAR,
+                    )
+                    for f in video
+                ]
+            )
+        else:
+            # nearest fallback without cv2
+            yi = np.clip((np.arange(new_h) * res_h / new_h).astype(int), 0, res_h - 1)
+            xi = np.clip((np.arange(new_w) * res_w / new_w).astype(int), 0, res_w - 1)
+            up = video[:, yi][:, :, xi].astype(np.float32)
+        video = up.astype(video.dtype) if video.dtype == np.uint8 else up
+        res_h, res_w = new_h, new_w
+
+    if dur_t % aligned != 0:
+        raise ValueError(
+            f"clip length {dur_t} must be a multiple of aligned={aligned}"
+        )
+
+    ymap, xmap = fragment_index_maps(
+        res_h,
+        res_w,
+        dur_t,
+        fragments_h,
+        fragments_w,
+        fsize_h,
+        fsize_w,
+        aligned,
+        rng=rng,
+        rnd_h=rnd_h,
+        rnd_w=rnd_w,
+    )
+    tg = np.arange(dur_t) // aligned
+    # One fancy-indexing gather replaces the reference's triple loop.
+    return video[np.arange(dur_t)[:, None, None], ymap[tg], xmap[tg]]
+
+
+def get_spatial_fragments_jax(video, ymap, xmap, aligned: int):
+    """On-device version of the mosaic gather for (T, H, W, C) arrays.
+
+    ``ymap/xmap`` come from :func:`fragment_index_maps` (host-computed,
+    static shapes) — the gather itself is one XLA `gather`, suitable for
+    fusion into the device-side preprocessing pipeline.
+    """
+    import jax.numpy as jnp
+
+    t = video.shape[0]
+    tg = jnp.arange(t) // aligned
+    ym = jnp.asarray(ymap)[tg]  # (T, size_h, size_w)
+    xm = jnp.asarray(xmap)[tg]
+    return video[jnp.arange(t)[:, None, None], ym, xm]
