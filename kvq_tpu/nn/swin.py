@@ -1,0 +1,477 @@
+"""Video Swin Transformer 3D with relative + fragment position biases.
+
+TPU-native redesign of the reference's FastVQA-style Swin-3D
+(swin_backbone.py:92-1107, duplicated in KSVQE_model.py:33-753):
+
+  - shifted-window attention runs as batched matmuls over (B*nW, N, C)
+    windows — MXU-shaped, softmax accumulated in float32;
+  - the reference's ``lru_cache``d mask/fragment-index builders
+    (compute_mask swin_backbone.py:559-586, global_position_index :21-50)
+    become *host-side numpy precomputation of static shapes*, embedded as
+    trace-time constants — no data-dependent control flow under jit;
+  - gradient checkpointing (reference use_checkpoint=True default) maps to
+    ``flax.linen.remat`` per block;
+  - cyclic shift is ``jnp.roll``; padding/unpadding is static.
+
+Replicated reference quirks (deliberate, for checkpoint parity):
+  - the relative-position index table is built for the *config* window and
+    sliced ``[:N, :N]`` when the effective window is clamped by a small
+    input (swin_backbone.py:264-266);
+  - the fragment gate is ``sum(|Δfrag_coord|)`` — an unclamped count that
+    scales the relative bias for windows spanning >1 fragment
+    (swin_backbone.py:291-302).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, reduce
+from operator import mul
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import Mlp, DropPath, PatchEmbed3D, PatchMerging, trunc_normal_init
+
+
+# ---------------------------------------------------------------------------
+# static (host/numpy) geometry helpers
+
+
+def get_window_size(x_size, window_size, shift_size=None):
+    """Clamp window (and zero shift) on dims where input <= window
+    (reference swin_backbone.py:145-158)."""
+    use_window = list(window_size)
+    use_shift = list(shift_size) if shift_size is not None else None
+    for i in range(len(x_size)):
+        if x_size[i] <= window_size[i]:
+            use_window[i] = x_size[i]
+            if use_shift is not None:
+                use_shift[i] = 0
+    if use_shift is None:
+        return tuple(use_window)
+    return tuple(use_window), tuple(use_shift)
+
+
+@lru_cache(maxsize=None)
+def relative_position_index(window_size: tuple[int, int, int]) -> np.ndarray:
+    """(N, N) gather indices into the (2Wd-1)(2Wh-1)(2Ww-1) bias table
+    (reference swin_backbone.py:212-238)."""
+    wd, wh, ww = window_size
+    coords = np.stack(
+        np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wd - 1
+    rel[:, :, 1] += wh - 1
+    rel[:, :, 2] += ww - 1
+    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[:, :, 1] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+def _window_partition_np(x: np.ndarray, window_size) -> np.ndarray:
+    """(D, H, W, C)-like numpy partition -> (nW, N, C)."""
+    d, h, w = x.shape[:3]
+    wd, wh, ww = window_size
+    c = x.shape[3:]
+    x = x.reshape(d // wd, wd, h // wh, wh, w // ww, ww, *c)
+    x = x.transpose(0, 2, 4, 1, 3, 5, *range(6, x.ndim))
+    return x.reshape(-1, wd * wh * ww, *c)
+
+
+@lru_cache(maxsize=None)
+def compute_shift_mask(
+    dims: tuple[int, int, int],
+    window_size: tuple[int, int, int],
+    shift_size: tuple[int, int, int],
+) -> np.ndarray | None:
+    """(nW, N, N) additive mask with -100 across shifted-window seams
+    (reference compute_mask, swin_backbone.py:559-586)."""
+    if not any(shift_size):
+        return None
+    D, H, W = dims
+    img_mask = np.zeros((D, H, W, 1), dtype=np.float32)
+    cnt = 0
+    for d in (
+        slice(-window_size[0]),
+        slice(-window_size[0], -shift_size[0] if shift_size[0] else None),
+        slice(-shift_size[0], None) if shift_size[0] else slice(0, 0),
+    ):
+        for h in (
+            slice(-window_size[1]),
+            slice(-window_size[1], -shift_size[1] if shift_size[1] else None),
+            slice(-shift_size[1], None) if shift_size[1] else slice(0, 0),
+        ):
+            for w in (
+                slice(-window_size[2]),
+                slice(-window_size[2], -shift_size[2] if shift_size[2] else None),
+                slice(-shift_size[2], None) if shift_size[2] else slice(0, 0),
+            ):
+                img_mask[d, h, w, :] = cnt
+                cnt += 1
+    windows = _window_partition_np(img_mask, window_size)[..., 0]  # (nW, N)
+    mask = windows[:, None, :] - windows[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def fragment_gate(
+    dims: tuple[int, int, int],
+    fragments: tuple[int, int, int],
+    window_size: tuple[int, int, int],
+    shift_size: tuple[int, int, int],
+) -> np.ndarray:
+    """(nW, N, N) gate = sum |Δ fragment coordinate| between token pairs.
+
+    numpy equivalent of reference global_position_index + fgate
+    (swin_backbone.py:21-50, 293-295): fragment ids come from
+    nearest-neighbor upsampling of the fragment grid to the padded token
+    volume, rolled by the cyclic shift.
+    """
+    D, H, W = dims
+    fd, fh, fw = fragments
+    # torch F.interpolate nearest: src index = floor(dst * size_in / size_out)
+    di = (np.arange(D) * fd // D).astype(np.int64)
+    hi = (np.arange(H) * fh // H).astype(np.int64)
+    wi = (np.arange(W) * fw // W).astype(np.int64)
+    coords = np.stack(
+        np.meshgrid(di, hi, wi, indexing="ij"), axis=-1
+    ).astype(np.float32)  # (D, H, W, 3)
+    coords = np.roll(
+        coords, shift=(-shift_size[0], -shift_size[1], -shift_size[2]), axis=(0, 1, 2)
+    )
+    win = _window_partition_np(coords, window_size)  # (nW, N, 3)
+    rel = win[:, None, :, :] - win[:, :, None, :]
+    return np.abs(rel).sum(-1).astype(np.float32)  # (nW, N, N)
+
+
+# ---------------------------------------------------------------------------
+# modules
+
+
+class WindowAttention3D(nn.Module):
+    """W-MSA over flattened windows with dual position-bias tables.
+
+    ``table_window`` sizes the learned tables (config window); the actual
+    token count N may be smaller when the effective window is clamped.
+    """
+
+    num_heads: int
+    table_window: tuple[int, int, int]
+    frag_bias: bool = False
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, fgate=None, *, train: bool = False):
+        # x: (B, nW, N, C); mask: (nW, N, N) or None; fgate: (nW, N, N) or None
+        B, nW, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        scale = hd**-0.5
+        wd, wh, ww = self.table_window
+        table_len = (2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1)
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, nW, N, 3, h, hd)
+        q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,h,hd)
+        q = jnp.swapaxes(q, -3, -2) * scale  # (B,nW,h,N,hd)
+        k = jnp.swapaxes(k, -3, -2)
+        v = jnp.swapaxes(v, -3, -2)
+
+        attn = jnp.einsum(
+            "bwhnd,bwhmd->bwhnm", q, k, preferred_element_type=jnp.float32
+        )
+
+        rpi = relative_position_index(self.table_window)[:N, :N]  # quirk: slice
+        rel_table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init(0.02),
+            (table_len, h),
+        )
+        rel_bias = rel_table[rpi.reshape(-1)].reshape(N, N, h)
+        rel_bias = rel_bias.transpose(2, 0, 1)  # (h, N, N) float32
+
+        if self.frag_bias and fgate is not None:
+            frag_table = self.param(
+                "fragment_position_bias_table",
+                trunc_normal_init(0.02),
+                (table_len, h),
+            )
+            frag_bias = frag_table[rpi.reshape(-1)].reshape(N, N, h)
+            frag_bias = frag_bias.transpose(2, 0, 1)
+            g = fgate[:, None, :, :]  # (nW, 1, N, N)
+            bias = rel_bias[None] * g + frag_bias[None] * (1.0 - g)  # (nW,h,N,N)
+        else:
+            bias = rel_bias[None]  # (1, h, N, N)
+
+        attn = attn + bias[None]  # (B, nW, h, N, N)
+        if mask is not None:
+            attn = attn + mask[None, :, None, :, :]
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+
+        out = jnp.einsum(
+            "bwhnm,bwhmd->bwhnd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        out = jnp.swapaxes(out, -3, -2).reshape(B, nW, N, C).astype(self.dtype)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+def window_partition(x, window_size):
+    """(B, D, H, W, C) -> (B, nW, N, C)."""
+    B, D, H, W, C = x.shape
+    wd, wh, ww = window_size
+    x = x.reshape(B, D // wd, wd, H // wh, wh, W // ww, ww, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(B, -1, wd * wh * ww, C)
+
+
+def window_reverse(windows, window_size, B, D, H, W):
+    wd, wh, ww = window_size
+    x = windows.reshape(B, D // wd, H // wh, W // ww, wd, wh, ww, -1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(B, D, H, W, -1)
+
+
+class SwinBlock3D(nn.Module):
+    """One (S)W-MSA + MLP block (reference SwinTransformerBlock3D,
+    swin_backbone.py:329-520)."""
+
+    num_heads: int
+    window_size: tuple[int, int, int]
+    shift: bool
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    frag_bias: bool = False
+    jump_attention: bool = False
+    fragments_hw: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # `train` is positional (not kw-only) so nn.remat can mark it static.
+        B, D, H, W, C = x.shape
+        cfg_shift = tuple(w // 2 for w in self.window_size) if self.shift else (0, 0, 0)
+        window, shift = get_window_size((D, H, W), self.window_size, cfg_shift)
+
+        if not self.jump_attention:
+            y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            pad_d = (window[0] - D % window[0]) % window[0]
+            pad_h = (window[1] - H % window[1]) % window[1]
+            pad_w = (window[2] - W % window[2]) % window[2]
+            if pad_d or pad_h or pad_w:
+                y = jnp.pad(
+                    y, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0))
+                )
+            Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
+
+            if any(shift):
+                y = jnp.roll(y, shift=(-shift[0], -shift[1], -shift[2]),
+                             axis=(1, 2, 3))
+            mask = compute_shift_mask((Dp, Hp, Wp), window, shift)
+            fgate = fragment_gate(
+                (Dp, Hp, Wp), (1, self.fragments_hw, self.fragments_hw),
+                window, shift,
+            )
+            mask_j = None if mask is None else jnp.asarray(mask)
+            fgate_j = jnp.asarray(fgate)
+
+            y = window_partition(y, window)  # (B, nW, N, C)
+            y = WindowAttention3D(
+                num_heads=self.num_heads,
+                table_window=self.window_size,
+                frag_bias=self.frag_bias,
+                qkv_bias=self.qkv_bias,
+                attn_drop=self.attn_drop,
+                proj_drop=self.drop,
+                dtype=self.dtype,
+                name="attn",
+            )(y, mask_j, fgate_j, train=train)
+            y = window_reverse(y, window, B, Dp, Hp, Wp)
+            if any(shift):
+                y = jnp.roll(y, shift=shift, axis=(1, 2, 3))
+            if pad_d or pad_h or pad_w:
+                y = y[:, :D, :H, :W]
+            x = x + DropPath(self.drop_path, name="drop_path1")(y, train=train)
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            hidden_features=int(C * self.mlp_ratio),
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, train=train)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, train=train)
+
+
+class BasicLayer(nn.Module):
+    """One stage: depth blocks (alternating shift) + optional PatchMerging
+    (reference swin_backbone.py:585-667)."""
+
+    depth: int
+    num_heads: int
+    window_size: tuple[int, int, int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_paths: tuple[float, ...] = ()
+    downsample: bool = True
+    frag_bias: bool = False
+    jump_attention: bool = False
+    fragments_hw: int = 7
+    use_checkpoint: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        block_cls = SwinBlock3D
+        if self.use_checkpoint:
+            block_cls = nn.remat(SwinBlock3D, static_argnums=(2,))
+        for i in range(self.depth):
+            blk = block_cls(
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift=i % 2 == 1,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_paths[i] if self.drop_paths else 0.0,
+                frag_bias=self.frag_bias,
+                jump_attention=self.jump_attention,
+                fragments_hw=self.fragments_hw,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            x = blk(x, train)
+        if self.downsample:
+            x = PatchMerging(dtype=self.dtype, name="downsample")(x)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    patch_size: tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 96
+    depths: tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: tuple[int, ...] = (3, 6, 12, 24)
+    window_size: tuple[int, int, int] = (8, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    frag_biases: tuple[bool, ...] = (True, True, True, False)
+    jump_attention: tuple[bool, ...] = (False, False, False, False)
+    fragments_hw: int = 7
+    use_checkpoint: bool = True
+    input_key: str = "technical"
+
+
+def swin_config(key: str, backbone_cfg: dict | None) -> SwinConfig:
+    """Model-key presets (reference models/model.py:30-47)."""
+    backbone_cfg = backbone_cfg or {}
+    presets = {
+        # swin_3d_tiny: frag biases off (KSVQE_model.py:1593 / swin_backbone.py:1088)
+        "swin_tiny": dict(frag_biases=(False,) * 4),
+        # FastVQA reproduction: full defaults with fragment biases
+        "swin_tiny_grpb": dict(),
+        # FastVQA-M: small windows, no fragment bias
+        "swin_tiny_grpb_m": dict(window_size=(4, 4, 4), frag_biases=(False,) * 4),
+        "swin_small": dict(depths=(2, 2, 18, 2), frag_biases=(False,) * 4),
+    }
+    kw = presets[key]
+    if "window_size" in backbone_cfg:
+        kw["window_size"] = tuple(backbone_cfg["window_size"])
+    if "checkpoint" in backbone_cfg:
+        kw["use_checkpoint"] = bool(backbone_cfg["checkpoint"])
+    return SwinConfig(**kw)
+
+
+class SwinTrunk(nn.Module):
+    """The 4-stage trunk on embedded tokens; returns all stage outputs.
+
+    Shared between the plain Swin path and KSVQE (which interleaves CDM
+    modulation between stages — see nn/ksvqe.py)."""
+
+    config: SwinConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def stage_modules(self):
+        cfg = self.config
+        dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))
+        stages = []
+        for i, depth in enumerate(cfg.depths):
+            start = sum(cfg.depths[:i])
+            stages.append(
+                BasicLayer(
+                    depth=depth,
+                    num_heads=cfg.num_heads[i],
+                    window_size=cfg.window_size,
+                    mlp_ratio=cfg.mlp_ratio,
+                    qkv_bias=cfg.qkv_bias,
+                    drop=cfg.drop_rate,
+                    attn_drop=cfg.attn_drop_rate,
+                    drop_paths=tuple(float(d) for d in dpr[start : start + depth]),
+                    downsample=i < len(cfg.depths) - 1,
+                    frag_bias=bool(cfg.frag_biases[i]),
+                    jump_attention=bool(cfg.jump_attention[i]),
+                    fragments_hw=cfg.fragments_hw,
+                    use_checkpoint=cfg.use_checkpoint,
+                    dtype=self.dtype,
+                    name=f"layers_{i}",
+                )
+            )
+        return stages
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = [x]
+        for stage in self.stage_modules():
+            x = stage(x, train=train)
+            feats.append(x)
+        return feats
+
+
+class SwinTransformer3D(nn.Module):
+    """Patch embed + trunk + final LayerNorm; reads ``batch['technical']``
+    like the reference (swin_backbone.py:1044-1080).
+
+    Accepts either the batch dict or a raw (B, T, H, W, C) array.
+    """
+
+    config: SwinConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, *, train: bool = False):
+        cfg = self.config
+        x = batch[cfg.input_key] if isinstance(batch, dict) else batch
+        x = x.astype(self.dtype)
+        x = PatchEmbed3D(
+            patch_size=cfg.patch_size,
+            embed_dim=cfg.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
+        feats = SwinTrunk(config=cfg, dtype=self.dtype, name="trunk")(
+            x, train=train
+        )
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(feats[-1])
+        return x  # (B, D', H', W', num_features)

