@@ -284,9 +284,12 @@ def make_synthetic_opt(
         ),
     }
     if with_features:
+        # features per frame of the sampled clip (the reference hardcodes 8
+        # = clip_len of its config, fusion_datasets.py:860)
+        n_feat = next(iter(sample_types.values())).get("clip_len", 8)
         opt["feature_factory"] = lambda name: np.random.default_rng(
             abs(hash(name)) % (2**31)
-        ).normal(size=(8, 2304)).astype(np.float32)
+        ).normal(size=(n_feat, 2304)).astype(np.float32)
         opt["data_prefix_3D"] = ""
         opt["feature_type"] = "SlowFast"
     return opt

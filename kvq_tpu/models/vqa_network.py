@@ -31,7 +31,11 @@ def build_backbone(key: str, hypers: dict | None, dtype, bn_axis_name=None):
     hypers = hypers or {}
     bb = hypers.get("backbone") or {}
     if key == "simpleVQA":
-        return FeatureResNet(dtype=dtype, bn_axis_name=bn_axis_name)
+        return FeatureResNet(
+            layers=tuple(bb.get("layers", (3, 4, 6, 3))),
+            dtype=dtype,
+            bn_axis_name=bn_axis_name,
+        )
     if key in ("swin_tiny", "swin_small", "swin_tiny_grpb", "swin_tiny_grpb_m"):
         from ..nn.swin import SwinTransformer3D, swin_config
 

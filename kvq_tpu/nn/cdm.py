@@ -1,0 +1,135 @@
+"""CDM — semantic/distortion modulation blocks of KSVQE.
+
+Counterparts (reference KSVQE_model.py):
+  - :class:`CrossAttention`   == crossattention1 (:1553-1591): q from x,
+    k/v from tokens, NO output projection, scale 1/sqrt(dim) (the FULL
+    model dim, not head dim — reference quirk, kept);
+  - :class:`TemporalAttention` == Attention (:1508-1551): qkv linear
+    (no bias), per-head scale, output projection;
+  - :class:`SemanticFiLM`     == Semantic_Transformation2 (:817-835):
+    spatial FiLM — 1x1 convs produce 1-channel gamma (sigmoid) and beta;
+  - :class:`DistFiLM`         == Dist_Transformation3 (:934-960): channel
+    FiLM from global avg/std pools of the enhanced distortion field.
+
+(The reference also defines Semantic_Transformation4/6/8 and
+Dist_Transformation5/7 which no config uses — SURVEY.md §5.1.13; they are
+intentionally not rebuilt.)
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class CrossAttention(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_tokens, kv_tokens):
+        # q_tokens: (B, Nq, C); kv_tokens: (B, Nk, C)
+        B, Nq, C = q_tokens.shape
+        h = self.num_heads
+        hd = C // h
+        q = nn.Dense(C, dtype=self.dtype, name="fc_q")(q_tokens)
+        k = nn.Dense(C, dtype=self.dtype, name="fc_k")(kv_tokens)
+        v = nn.Dense(C, dtype=self.dtype, name="fc_v")(kv_tokens)
+
+        def heads(t):
+            return t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        # reference scale: 1/sqrt(dim_V) with dim_V = full C
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(C))
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
+        return out, attn.mean(axis=1)
+
+
+class TemporalAttention(nn.Module):
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(3 * C, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q) * hd**-0.5, heads(k), heads(v)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
+
+
+class SemanticFiLM(nn.Module):
+    """gamma/beta spatial modulation: out = sigmoid(conv_g(x)) * input +
+    conv_b(x); convs are 1x1 to a single channel."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inp):
+        # x, inp: (N, H, W, C) channels-last
+        gamma = jax.nn.sigmoid(
+            nn.Dense(1, dtype=self.dtype, name="conv_gama")(x)
+        )
+        beta = nn.Dense(1, dtype=self.dtype, name="conv_beta")(x)
+        return gamma * inp + beta
+
+
+class DistFiLM(nn.Module):
+    """Channel FiLM from avg/std pools over (T,H,W) of the distortion field
+    (torch.std default = unbiased, matched)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inp):
+        # x: (B, T, H, W, C); inp: (B, T*H*W, C)
+        B = x.shape[0]
+        C = x.shape[-1]
+        xf = x.reshape(B, -1, C).astype(jnp.float32)
+        n = xf.shape[1]
+        mean = xf.mean(axis=1)
+        var = xf.var(axis=1) * (n / max(n - 1, 1))
+        std = jnp.sqrt(var + 1e-10)  # finite grad at zero-variance channels
+        gamma = jax.nn.sigmoid(
+            nn.Dense(C, dtype=self.dtype, name="get_gamma")(std.astype(self.dtype))
+        )
+        beta = nn.Dense(C, dtype=self.dtype, name="get_beta")(
+            mean.astype(self.dtype)
+        )
+        return gamma[:, None, :] * inp + beta[:, None, :]
+
+
+class AdapterMLP(nn.Module):
+    """Linear(d_in, d_in/4) -> ReLU -> Linear(d_in/4, d_out) -> ReLU —
+    the shape of every adapter in KSVQE (semantic_adapter,
+    distortion_adapter, dist_adapter; KSVQE_model.py:1080-1084,1174-1186)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(d // 4, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return nn.relu(x)

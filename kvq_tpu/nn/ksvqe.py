@@ -1,0 +1,263 @@
+"""KSVQE — the paper model (arXiv:2402.07220), TPU-native assembly.
+
+Reference: class KSVQE (KSVQE_model.py:1024-1506).  Composition:
+  (a) CLIP ViT-B/16 semantic tool over 4 keyframes (:1072,1406);
+  (b) frozen CONTRIQUE distortion tool + trainable dist_adapter blended
+      0.2/0.8 on temporally-halved frames (:1074-1086,1425-1426);
+  (c) quality-aware region selector (perturbed top-k over CLIP
+      cls-attention, one 224x224 region per frame) (:1089,1419);
+  (d) Swin-3D-Tiny trunk with per-stage CDM modulation for stages >=
+      tuning_stage: semantic cross-attn + spatial FiLM, distortion
+      cross-attn + temporal self-attn + channel FiLM, combined
+      (a1*x_dist + a2*x_sem)/2 (:1433-1485);
+  (e) supervised contrastive distortion loss (:1428, 1666-1691).
+
+TPU-first details: keyframe indices and frame->keyframe group ids are
+*static* functions of the clip length (the reference computes them in a
+per-batch python double loop, obtain_keyframes :1352-1376 — here they are
+trace-time constants); region selection is a weighted sum of static slices
+(see nn/regionnet.py); every tool runs as one batched conv/attention pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..train.losses import distortion_contrastive_supervised
+from .cdm import AdapterMLP, CrossAttention, DistFiLM, SemanticFiLM, TemporalAttention
+from .clip_vit import CLIPVisionTower
+from .contrique import CONTRIQUE
+from .layers import PatchEmbed3D
+from .regionnet import RegionSelector, keyframe_schedule
+from .swin import SwinConfig, make_stages
+
+
+@dataclasses.dataclass(frozen=True)
+class KSVQEConfig:
+    num_samples: int = 1
+    sample_type: str = "topkpertubation"
+    clip_location: int = 8
+    cls_use: bool = True
+    tuning_stage: int = 1
+    a1: float = 1.0
+    a2: float = 0.0
+    sigma: float = 0.5
+    anchor_size: int = 32
+    region_k: int = 49
+    patch_size: tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 96
+    depths: tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: tuple[int, ...] = (3, 6, 12, 24)
+    window_size: tuple[int, int, int] = (8, 7, 7)
+    drop_path_rate: float = 0.1
+    frag_biases: tuple[bool, ...] = (True, True, True, False)
+    use_checkpoint: bool = True
+    # reduced-geometry knobs for tests/dry-runs (defaults = paper shapes)
+    contrique_layers: tuple[int, ...] = (3, 4, 6, 3)
+    clip_layers: int = 12
+    clip_width: int = 768
+    clip_heads: int = 12
+
+
+def ksvqe_config(bb: dict | None) -> KSVQEConfig:
+    """Build from the reference YAML backbone block
+    (config/Kwai_KSVQE.yml:63-75)."""
+    bb = bb or {}
+    return KSVQEConfig(
+        num_samples=int(bb.get("num_samples", 1)),
+        sample_type=bb.get("sample_type", "topkpertubation"),
+        clip_location=int(bb.get("CLIP_location", 8)),
+        cls_use=bool(bb.get("cls_use", True)),
+        tuning_stage=int(bb.get("tuning_stage", 1)),
+        a1=float(bb.get("a1", 1.0)),
+        a2=float(bb.get("a2", 0.0)),
+        use_checkpoint=bool(bb.get("checkpoint", True)),
+        drop_path_rate=float(bb.get("drop_path_rate", 0.1)),
+        anchor_size=int(bb.get("anchor_size", 32)),
+        region_k=int(bb.get("region_k", 49)),
+        patch_size=tuple(bb.get("patch_size", (2, 4, 4))),
+        depths=tuple(bb.get("depths", (2, 2, 6, 2))),
+        num_heads=tuple(bb.get("num_heads", (3, 6, 12, 24))),
+        embed_dim=int(bb.get("embed_dim", 96)),
+        window_size=tuple(bb.get("window_size", (8, 7, 7))),
+        contrique_layers=tuple(bb.get("contrique_layers", (3, 4, 6, 3))),
+        clip_layers=int(bb.get("clip_layers", 12)),
+        clip_width=int(bb.get("clip_width", 768)),
+        clip_heads=int(bb.get("clip_heads", 12)),
+    )
+
+
+class KSVQE(nn.Module):
+    config: KSVQEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.CLIP_tool = CLIPVisionTower(
+            width=cfg.clip_width,
+            layers=cfg.clip_layers,
+            heads=cfg.clip_heads,
+            clip_location=cfg.clip_location,
+            cls_use=cfg.cls_use,
+            dtype=self.dtype,
+            name="CLIP_tool",
+        )
+        self.distortion_tool = CONTRIQUE(
+            anchor_size=cfg.anchor_size,
+            layers=cfg.contrique_layers,
+            dtype=self.dtype,
+            name="distortion_tool",
+        )
+        self.dist_adapter = AdapterMLP(128, dtype=self.dtype, name="dist_adapter")
+        self.selector = RegionSelector(
+            k=cfg.region_k,
+            anchor_size=cfg.anchor_size,
+            num_samples=cfg.num_samples,
+            sample_type=cfg.sample_type,
+            sigma=cfg.sigma,
+        )
+        self.patch_embed = PatchEmbed3D(
+            patch_size=cfg.patch_size,
+            embed_dim=cfg.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )
+        swin_cfg = SwinConfig(
+            patch_size=cfg.patch_size,
+            embed_dim=cfg.embed_dim,
+            depths=cfg.depths,
+            num_heads=cfg.num_heads,
+            window_size=cfg.window_size,
+            drop_path_rate=cfg.drop_path_rate,
+            frag_biases=cfg.frag_biases,
+            jump_attention=(False,) * len(cfg.depths),
+            use_checkpoint=cfg.use_checkpoint,
+        )
+        self.layers = make_stages(swin_cfg, self.dtype)
+        self.final_norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+
+        # per-modulated-stage modules; channel dims follow the reference's
+        # clamped 2^(l+1) rule (KSVQE_model.py:1160-1163)
+        n_stages = len(cfg.depths)
+        ts = cfg.tuning_stage
+        sem_adapters, dist_adapters = [], []
+        sem_cross, dist_cross, dist_self = [], [], []
+        sem_mod, dist_mod = [], []
+        for l in range(ts, n_stages):
+            i = min(l, n_stages - 2)
+            dim = int(cfg.embed_dim * 2 ** (i + 1))
+            heads = cfg.num_heads[l]
+            m = l - ts
+            sem_adapters.append(
+                AdapterMLP(dim, dtype=self.dtype, name=f"semantic_adapter_{m}")
+            )
+            dist_adapters.append(
+                AdapterMLP(dim, dtype=self.dtype, name=f"distortion_adapter_{m}")
+            )
+            sem_cross.append(
+                CrossAttention(heads, dtype=self.dtype, name=f"semantic_cross_{m}")
+            )
+            dist_cross.append(
+                CrossAttention(heads, dtype=self.dtype, name=f"distortion_cross_{m}")
+            )
+            dist_self.append(
+                TemporalAttention(heads, dtype=self.dtype, name=f"distortion_self_{m}")
+            )
+            sem_mod.append(SemanticFiLM(dtype=self.dtype, name=f"semantic_mod_{m}"))
+            dist_mod.append(DistFiLM(dtype=self.dtype, name=f"distortion_mod_{m}"))
+        self.semantic_adapter = sem_adapters
+        self.distortion_adapter = dist_adapters
+        self.semantic_cross = sem_cross
+        self.distortion_cross = dist_cross
+        self.distortion_self = dist_self
+        self.semantic_mod = sem_mod
+        self.distortion_mod = dist_mod
+
+        n_mod = n_stages - ts
+        self.a1 = self.param(
+            "a1", lambda k, s: jnp.full(s, self.config.a1, jnp.float32), (n_mod, 1)
+        )
+        self.a2 = self.param(
+            "a2", lambda k, s: jnp.full(s, self.config.a2, jnp.float32), (n_mod, 1)
+        )
+
+    def __call__(self, batch, *, train: bool = False):
+        cfg = self.config
+        revideo = batch["resize_video"].astype(self.dtype)  # (B,T,h,w,3)
+        fragment = batch["fragment"].astype(self.dtype)  # (B,T,H,W,3)
+        dis_label = batch["dis_label"]
+        B, T = fragment.shape[0], fragment.shape[1]
+
+        # --- keyframes + CLIP semantic tool (static schedule)
+        keyframes, group_id = keyframe_schedule(T)
+        key_frames = revideo[:, jnp.asarray(keyframes)]  # (B,4,h,w,3)
+        n_key = len(keyframes)
+        kf = key_frames.reshape(B * n_key, *key_frames.shape[2:])
+        cls_attn, _cls_token, pat_tokens = self.CLIP_tool(kf)
+        L = cls_attn.shape[-1]
+        cls_attn = cls_attn.reshape(B, n_key, L)
+        pat_tokens = pat_tokens.reshape(B, n_key, L, -1)
+        gid = jnp.asarray(group_id, jnp.int32)
+        full_patch = pat_tokens[:, gid]  # (B, T, L, 768)
+
+        # --- QRS region selection
+        qrs_key = self.make_rng("qrs") if train else None
+        x_sel_ori = self.selector(
+            fragment, cls_attn, group_id, train=train, key=qrs_key
+        )  # (B, T, 224, 224, 3)
+
+        # --- trunk tokens
+        x = self.patch_embed(x_sel_ori)  # (B, T/2, 56, 56, 96)
+
+        # --- distortion tokens on detached, temporally-halved selection
+        dist_in = jax.lax.stop_gradient(x_sel_ori)[:, ::2]
+        dist_tok = self.distortion_tool(dist_in)  # (B, T/2, G, 128)
+        dist_tok = 0.2 * self.dist_adapter(dist_tok) + 0.8 * dist_tok
+        dis_loss = distortion_contrastive_supervised(dist_tok, dis_label)
+
+        # --- stages + CDM
+        ts = cfg.tuning_stage
+        for l, stage in enumerate(self.layers):
+            x = stage(x, train=train)
+            if l < ts:
+                continue
+            m = l - ts
+            n, t, h, w, c = x.shape
+
+            # semantic modulation
+            pt = full_patch[:, ::2]  # (B, t, L, 768)
+            pt = self.semantic_adapter[m](pt).reshape(n * t, L, c)
+            xs = x.reshape(n * t, h * w, c)
+            enh, _ = self.semantic_cross[m](xs, pt)
+            fors = self.semantic_mod[m](
+                enh.reshape(n * t, h, w, c), x.reshape(n * t, h, w, c)
+            ).reshape(n, t, h, w, c)
+
+            # distortion modulation
+            G = dist_tok.shape[2]
+            dt = self.distortion_adapter[m](dist_tok).reshape(n * t, G, c)
+            denh, _ = self.distortion_cross[m](xs, dt)  # (n*t, h*w, c)
+            denh = (
+                denh.reshape(n, t, h * w, c)
+                .transpose(0, 2, 1, 3)
+                .reshape(n * h * w, t, c)
+            )
+            denh = self.distortion_self[m](denh, train=train)
+            denh = (
+                denh.reshape(n, h * w, t, c)
+                .transpose(0, 2, 1, 3)
+                .reshape(n, t, h, w, c)
+            )
+            ford = self.distortion_mod[m](denh, x.reshape(n, t * h * w, c))
+            ford = ford.reshape(n, t, h, w, c)
+
+            a1 = self.a1[m].astype(x.dtype)
+            a2 = self.a2[m].astype(x.dtype)
+            x = (a1 * ford + a2 * fors) / 2
+
+        x = self.final_norm(x)
+        return x, dis_loss

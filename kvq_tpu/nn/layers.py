@@ -112,12 +112,15 @@ class PatchMerging(nn.Module):
         return x
 
 
-def avg_std_pool(x, axes: Sequence[int]):
+def avg_std_pool(x, axes: Sequence[int], eps: float = 1e-10):
     """Concatenated global average + standard-deviation pooling.
 
     The reference taps ResNet stages with AdaptiveAvgPool2d + a global std
     pool (simpleVQA_model.py:8-11, 240-252).  torch.std uses the unbiased
-    (n-1) estimator — matched here.
+    (n-1) estimator — matched here.  A tiny eps keeps the sqrt gradient
+    finite for dead (all-zero) channels — torch.std has an infinite
+    gradient there; the value difference is ~1e-5 absolute, far below the
+    feature scale (documented divergence).
     """
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=axes)
@@ -125,7 +128,7 @@ def avg_std_pool(x, axes: Sequence[int]):
     for a in axes:
         n *= x.shape[a]
     var = xf.var(axis=axes) * (n / max(n - 1, 1))
-    return mean, jnp.sqrt(var)
+    return mean, jnp.sqrt(var + eps)
 
 
 def trunc_normal_init(std: float = 0.02) -> Callable:

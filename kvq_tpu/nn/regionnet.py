@@ -1,0 +1,156 @@
+"""Quality-aware Region Selection (QRS) — RegionNet over CLIP cls-attention.
+
+Reference: RegionNet_CLIP (patchnet.py:394-550).  Semantics:
+
+  - per keyframe, the CLIP cls-attention map (sqrt(L) x sqrt(L)) is
+    nearest-resized to the fragment anchor grid (gh x gw = 9 x 9 for the
+    KVQ config);
+  - candidate regions are every sqrt(k) x sqrt(k) (=7x7) anchor window at
+    stride 1 -> (gh-6)*(gw-6) = 9 regions; region score = mean of its
+    anchors' scores, min-max normalized;
+  - train: perturbed top-1 soft indicator over regions (custom vjp);
+    eval: hard argmax indicator;
+  - the keyframe's choice broadcasts to its frame group (group_id);
+  - output video = per-frame 224x224 region.
+
+TPU redesign: the reference materializes an unfold of all 9 candidate
+regions (b*t, 9, C*32*32*49) and bmm's with the indicator
+(patchnet.py:487-492,532-535).  Here the selected region is a *weighted sum
+of 9 statically-shifted slices* of the fragment mosaic — no 9x feature
+buffer, one fused multiply-add chain under XLA, identical math for soft
+(train) and one-hot (eval) weights.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.topk import hard_topk_indicator, min_max_norm, perturbed_topk
+
+
+def region_scores(cls_attn, grid_hw: tuple[int, int], k_side: int, stride: int = 1):
+    """(B, L) cls-attention -> (B, n_regions) min-max-normalized scores."""
+    b, L = cls_attn.shape
+    s = int(math.isqrt(L))
+    score = cls_attn.reshape(b, s, s)
+    gh, gw = grid_hw
+    if (s, s) != (gh, gw):
+        # nearest resize (reference F.interpolate mode="nearest",
+        # patchnet.py:476-478)
+        score = jax.image.resize(score, (b, gh, gw), method="nearest")
+    nh, nw = gh - k_side + 1, gw - k_side + 1
+    # region means: sum over each k_side x k_side window via cumulative
+    # windows — nh*nw is tiny (9), unroll statically
+    means = []
+    for i in range(0, nh, stride):
+        for j in range(0, nw, stride):
+            means.append(
+                score[:, i : i + k_side, j : j + k_side].mean(axis=(1, 2))
+            )
+    scores = jnp.stack(means, axis=1)  # (b, n_regions)
+    return min_max_norm(scores)
+
+
+def extract_region_weighted(fragment, weights, anchor: int, k_side: int):
+    """Weighted sum of candidate regions.
+
+    fragment: (B, T, H, W, C) mosaic (H = W = gh*anchor);
+    weights:  (B, T, n_regions) — soft indicator (train) or one-hot (eval);
+    returns   (B, T, k_side*anchor, k_side*anchor, C).
+    """
+    B, T, H, W, C = fragment.shape
+    gh, gw = H // anchor, W // anchor
+    nh, nw = gh - k_side + 1, gw - k_side + 1
+    out_side = k_side * anchor
+    out = jnp.zeros((B, T, out_side, out_side, C), fragment.dtype)
+    r = 0
+    for i in range(nh):
+        for j in range(nw):
+            w = weights[:, :, r][..., None, None, None].astype(fragment.dtype)
+            region = jax.lax.dynamic_slice(
+                fragment,
+                (0, 0, i * anchor, j * anchor, 0),
+                (B, T, out_side, out_side, C),
+            )
+            out = out + w * region
+            r += 1
+    return out
+
+
+def keyframe_schedule(t: int, n_key: int = 4) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Static keyframe indices and per-frame group ids
+    (reference obtain_keyframes, KSVQE_model.py:1352-1376: keyframes at
+    0, t/4-1, t/2-1, 3t/4-1; group id increments at each threshold)."""
+    thresholds = (t // 4 - 1, t // 2 - 1, t * 3 // 4 - 1)
+    keyframes = (0,) + thresholds
+    group = []
+    gid = 0
+    for j in range(t):
+        if j in thresholds:
+            gid += 1
+        group.append(gid)
+    return keyframes, tuple(group)
+
+
+class RegionSelector:
+    """Functional QRS: selects one 224x224 region per frame.
+
+    Not an nn.Module — it has no parameters; randomness (perturbed top-k)
+    comes in via an explicit key.
+    """
+
+    def __init__(
+        self,
+        k: int = 49,
+        anchor_size: int = 32,
+        stride: int = 1,
+        num_samples: int = 500,
+        sample_type: str = "topkpertubation",
+        sigma: float = 0.5,
+    ):
+        self.k_side = int(math.isqrt(k))
+        self.anchor = anchor_size
+        self.stride = stride
+        self.num_samples = num_samples
+        self.sample_type = sample_type
+        self.sigma = sigma
+
+    def __call__(self, fragment, cls_attn, group_id, *, train: bool, key=None):
+        """fragment (B,T,H,W,C); cls_attn (B, n_key, L);
+        group_id: tuple of length T (static)."""
+        B, T = fragment.shape[0], fragment.shape[1]
+        b_nk, L = cls_attn.shape[0] * cls_attn.shape[1], cls_attn.shape[2]
+        n_key = cls_attn.shape[1]
+        gh = fragment.shape[2] // self.anchor
+        gw = fragment.shape[3] // self.anchor
+        scores = region_scores(
+            cls_attn.reshape(b_nk, L), (gh, gw), self.k_side, self.stride
+        )  # (B*n_key, nR)
+
+        if train and self.sample_type == "topkpertubation":
+            assert key is not None
+            ind = perturbed_topk(
+                scores, key, 1, self.num_samples, self.sigma
+            )  # (B*n_key, 1, nR)
+        elif train and self.sample_type == "gumbel":
+            from ..ops.topk import gumbel_topk_indicator
+
+            ind = gumbel_topk_indicator(scores, key)
+        elif train and self.sample_type == "random":
+            assert key is not None
+            nR = scores.shape[-1]
+            idx = jax.random.randint(key, (b_nk,), 0, nR)
+            ind = jax.nn.one_hot(idx, nR, dtype=scores.dtype)[:, None, :]
+        else:
+            ind = hard_topk_indicator(scores, 1)  # (B*n_key, 1, nR)
+
+        nR = ind.shape[-1]
+        key_weights = ind.reshape(B, n_key, nR)
+        gid = jnp.asarray(group_id, jnp.int32)  # (T,)
+        frame_weights = key_weights[:, gid]  # (B, T, nR)
+        return extract_region_weighted(
+            fragment, frame_weights, self.anchor, self.k_side
+        )

@@ -403,46 +403,48 @@ def swin_config(key: str, backbone_cfg: dict | None) -> SwinConfig:
     return SwinConfig(**kw)
 
 
-class SwinTrunk(nn.Module):
-    """The 4-stage trunk on embedded tokens; returns all stage outputs.
+def make_stages(cfg: "SwinConfig", dtype, named: bool = False) -> list:
+    """Build the per-stage BasicLayer modules for a SwinConfig.
 
-    Shared between the plain Swin path and KSVQE (which interleaves CDM
-    modulation between stages — see nn/ksvqe.py)."""
+    Shared between the plain Swin trunk and KSVQE (which interleaves CDM
+    modulation between stages — see nn/ksvqe.py).  With ``named=False`` the
+    modules are auto-named by setup() attribute assignment."""
+    dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))
+    stages = []
+    for i, depth in enumerate(cfg.depths):
+        start = sum(cfg.depths[:i])
+        stages.append(
+            BasicLayer(
+                depth=depth,
+                num_heads=cfg.num_heads[i],
+                window_size=cfg.window_size,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate,
+                drop_paths=tuple(float(d) for d in dpr[start : start + depth]),
+                downsample=i < len(cfg.depths) - 1,
+                frag_bias=bool(cfg.frag_biases[i]),
+                jump_attention=bool(cfg.jump_attention[i]),
+                fragments_hw=cfg.fragments_hw,
+                use_checkpoint=cfg.use_checkpoint,
+                dtype=dtype,
+                name=f"layers_{i}" if named else None,
+            )
+        )
+    return stages
+
+
+class SwinTrunk(nn.Module):
+    """The 4-stage trunk on embedded tokens; returns all stage outputs."""
 
     config: SwinConfig
     dtype: jnp.dtype = jnp.float32
 
-    def stage_modules(self):
-        cfg = self.config
-        dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))
-        stages = []
-        for i, depth in enumerate(cfg.depths):
-            start = sum(cfg.depths[:i])
-            stages.append(
-                BasicLayer(
-                    depth=depth,
-                    num_heads=cfg.num_heads[i],
-                    window_size=cfg.window_size,
-                    mlp_ratio=cfg.mlp_ratio,
-                    qkv_bias=cfg.qkv_bias,
-                    drop=cfg.drop_rate,
-                    attn_drop=cfg.attn_drop_rate,
-                    drop_paths=tuple(float(d) for d in dpr[start : start + depth]),
-                    downsample=i < len(cfg.depths) - 1,
-                    frag_bias=bool(cfg.frag_biases[i]),
-                    jump_attention=bool(cfg.jump_attention[i]),
-                    fragments_hw=cfg.fragments_hw,
-                    use_checkpoint=cfg.use_checkpoint,
-                    dtype=self.dtype,
-                    name=f"layers_{i}",
-                )
-            )
-        return stages
-
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         feats = [x]
-        for stage in self.stage_modules():
+        for stage in make_stages(self.config, self.dtype, named=True):
             x = stage(x, train=train)
             feats.append(x)
         return feats

@@ -1,0 +1,305 @@
+"""Trainer — the counterpart of reference ``trainer.py`` /
+``trainer_ddp.py`` Trainer, redesigned for JAX:
+
+  - one jitted train step: forward (all model keys) -> composite loss ->
+    AdamW update -> EMA, with BatchNorm stats mutated inside the step;
+  - eval loop with the reference's clip-mean + rescale + scipy metrics and
+    best-(SRCC+PLCC) checkpointing for both raw and EMA params
+    ('n'/'s' suffixes, trainer.py:175-176,223-230);
+  - works single-device or over a device mesh (see
+    kvq_tpu/parallel/mesh.py): with a mesh, the batch is sharded over the
+    'data' axis and XLA inserts the gradient psums — the DDP analog.
+
+The eval reshape quirk is preserved: keys of ``config['model']['type']``
+are reshaped per num_clips only when present in the batch; for KSVQE the
+key is absent so 96 eval frames run as one clip (SURVEY.md §5.1.3).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core.config import key_list, model_keys
+from ..core.metrics import vqa_metrics
+from ..core.registry import DATASETS
+from ..data.pipeline import Loader, collate, device_prefetch
+from ..models.vqa_network import VQANetwork
+from . import optim
+from .losses import total_loss
+
+ARRAY_BATCH_KEYS = (
+    "fragment",
+    "resize_video",
+    "simpleVQA",
+    "technical",
+    "aesthetic",
+    "feat",
+    "label",
+    "dis_label",
+)
+
+
+def array_batch(batch: dict) -> dict:
+    """Strip a collated batch to the jit-traceable array fields."""
+    return {k: jnp.asarray(batch[k]) for k in ARRAY_BATCH_KEYS if k in batch}
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+
+
+class Trainer:
+    def __init__(self, config: dict, workdir: str = "./work", test_set: str = "val"):
+        self.config = config
+        self.workdir = workdir
+        self.test_set = test_set
+        self.key_list = key_list(config)
+        self.is_ksvqe = config["model"]["type"] == "KSVQE"
+        self.model = VQANetwork(config=config)
+        self.ema_decay = float(config.get("ema_decay", 0.999))
+        self.use_ema = bool(config.get("ema", True))
+        self.best = (-1.0, -1.0, -1.0, 1999.0)
+        self.best_ema = (-1.0, -1.0, -1.0, 1999.0)
+        self.state: TrainState | None = None
+        self.train_loader: Loader | None = None
+        self.val_loader: Loader | None = None
+        self._tx = None
+
+    # ------------------------------------------------------------------ data
+    def build_datasets(self) -> None:
+        data_cfg = self.config["data"]
+        nw = int(self.config.get("num_workers", 6))
+        if "train" in data_cfg:
+            ds = DATASETS.get(data_cfg["train"]["type"])(data_cfg["train"]["args"])
+            self.train_loader = Loader(
+                ds,
+                batch_size=int(self.config["batch_size"]),
+                shuffle=True,
+                num_workers=nw,
+                seed=int(self.config.get("seed", 42)),
+                drop_last=True,
+            )
+        if "val" in data_cfg:
+            ds = DATASETS.get(data_cfg["val"]["type"])(data_cfg["val"]["args"])
+            self.val_loader = Loader(
+                ds, batch_size=1, shuffle=False, num_workers=nw
+            )
+
+    # ----------------------------------------------------------------- model
+    def build_models(self, sample_batch: dict, seed: int = 0) -> None:
+        variables = self.model.init(
+            jax.random.key(seed), array_batch(sample_batch), train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        load_path = self.config.get("load_path")
+        if load_path:
+            loaded = ckpt.load_checkpoint(load_path)
+            src = loaded.get("params", loaded.get("state_dict", loaded))
+            params, report = ckpt.merge_params(params, src, strict=False)
+            print("loaded", load_path, {k: len(v) for k, v in report.items()})
+
+        n_train = len(self.train_loader) if self.train_loader else 1
+        opt_cfg = self.config.get("optimizer", {})
+        warmup_iters = int(float(self.config.get("warmup_epochs", 0)) * n_train)
+        max_iters = int(
+            (
+                float(self.config.get("num_epochs", 1))
+                + float(self.config.get("l_num_epochs", 0))
+            )
+            * n_train
+        )
+        frozen = optim.KSVQE_FROZEN_PATTERNS if self.is_ksvqe else ()
+        self._tx = optim.build_optimizer(
+            params,
+            lr=float(opt_cfg.get("lr", 3e-5)),
+            weight_decay=float(opt_cfg.get("wd", 0.05)),
+            warmup_iters=warmup_iters,
+            max_iters=max_iters,
+            backbone_lr_mult=float(opt_cfg.get("backbone_lr_mult", 1.0)),
+            frozen_patterns=frozen,
+        )
+        self.state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self._tx.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params)
+            if self.use_ema
+            else (),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ steps
+    @functools.partial(jax.jit, static_argnums=0)
+    def _train_step(self, state: TrainState, batch: dict, rng):
+        contra_w = float(self.config.get("contra_loss_weight", 0.3))
+        rank_w = float(self.config.get("rank_loss_weight", 0.0))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = self.model.apply(
+                variables,
+                batch,
+                train=True,
+                mutable=mutable,
+                rngs={"dropout": rng},
+            )
+            if mutable:
+                out, mutated = out
+                new_stats = mutated["batch_stats"]
+            else:
+                new_stats = state.batch_stats
+            if self.is_ksvqe:
+                scores, dis_contra = out
+            else:
+                scores, dis_contra = out, None
+            loss, aux = total_loss(
+                scores, batch["label"], dis_contra, contra_w, rank_w
+            )
+            return loss, (aux, new_stats)
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = self._tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_ema = (
+            optim.ema_update(state.ema_params, new_params, self.ema_decay)
+            if self.use_ema
+            else state.ema_params
+        )
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+            step=state.step + 1,
+        )
+        return new_state, aux
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _eval_step(self, params, batch_stats, batch: dict):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = self.model.apply(variables, batch, train=False, reduce_scores=True)
+        if self.is_ksvqe:
+            out, _ = out
+        return out
+
+    # ------------------------------------------------------------------ loops
+    def _reshape_for_clips(self, batch: dict) -> dict:
+        """Reference eval reshape (trainer.py:188-201): split the temporal
+        axis into num_clips independent clips, folded into batch."""
+        batch = dict(batch)
+        nc_field = batch.get("num_clips")
+        if isinstance(nc_field, list):
+            nc_field = nc_field[0]
+        for key in self.key_list:
+            if key in batch:
+                v = batch[key]
+                b, t = v.shape[0], v.shape[1]
+                nc = (
+                    int(next(iter(nc_field.values())))
+                    if isinstance(nc_field, dict)
+                    else int(nc_field or 1)
+                )
+                if nc > 1:
+                    batch[key] = v.reshape(b * nc, t // nc, *v.shape[2:])
+        return batch
+
+    def train_epoch(self, epoch: int, rng) -> dict:
+        assert self.state is not None and self.train_loader is not None
+        last_aux: dict = {}
+        it = device_prefetch(self.train_loader.epoch(epoch))
+        for batch in it:
+            rng, step_rng = jax.random.split(rng)
+            self.state, aux = self._train_step(
+                self.state, array_batch(batch), step_rng
+            )
+            last_aux = aux
+        return {k: float(v) for k, v in last_aux.items()}
+
+    def evaluate(self, use_ema: bool = False) -> tuple:
+        assert self.state is not None and self.val_loader is not None
+        params = self.state.ema_params if use_ema else self.state.params
+        preds, labels = [], []
+        for batch in self.val_loader.epoch(0):
+            batch = self._reshape_for_clips(batch)
+            out = self._eval_step(params, self.state.batch_stats, array_batch(batch))
+            preds.append(float(np.mean(np.asarray(out))))
+            labels.append(float(np.asarray(batch["label"]).reshape(-1)[0]))
+        return vqa_metrics(labels, preds)
+
+    def train_eval_all_epoches(self, epoch: int, rng=None):
+        rng = rng if rng is not None else jax.random.key(epoch)
+        self.train_epoch(epoch, rng)
+        self.best = self._eval_and_maybe_save(False, self.best, "n")
+        if self.use_ema:
+            self.best_ema = self._eval_and_maybe_save(True, self.best_ema, "s")
+        return self.best, self.best_ema
+
+    def _eval_and_maybe_save(self, use_ema: bool, best: tuple, suffix: str):
+        m = self.evaluate(use_ema=use_ema)
+        best_s, best_p, best_k, best_r = best
+        if m.srcc + m.plcc > best_s + best_p and self.config.get("save_model", True):
+            name = f"{self.config['name']}_head_{self.test_set}"
+            path = os.path.join(
+                self.workdir, f"{name}_{suffix}_finetuned.msgpack"
+            )
+            state = self.state
+            ckpt.save_checkpoint(
+                path,
+                {
+                    "params": state.ema_params if use_ema else state.params,
+                    "batch_stats": state.batch_stats,
+                    "validation_results": np.asarray(best),
+                },
+            )
+        return (
+            max(best_s, m.srcc),
+            max(best_p, m.plcc),
+            max(best_k, m.krcc),
+            min(best_r, m.rmse),
+        )
+
+    # ---------------------------------------------------------------- inference
+    def inference_test(self, output_path: str = "output.txt") -> list:
+        """Working equivalent of the reference's broken ``test.py`` entry
+        (SURVEY.md §5.1.1): writes ``video_name,score`` lines."""
+        assert self.state is not None and self.val_loader is not None
+        results = []
+        for batch in self.val_loader.epoch(0):
+            batch = self._reshape_for_clips(batch)
+            out = self._eval_step(
+                self.state.params, self.state.batch_stats, array_batch(batch)
+            )
+            results.append(
+                (batch["video_name"][0], float(np.mean(np.asarray(out))))
+            )
+        with open(output_path, "w") as f:
+            for name, score in results:
+                f.write(f"{name},{score}\n")
+        return results

@@ -1,0 +1,145 @@
+"""End-to-end trainer smoke: tiny SimpleVQA on synthetic videos.
+
+Covers: dataset -> loader -> jit train step (loss/grads/AdamW/EMA) ->
+eval (clip mean, rescale, metrics) -> best-checkpoint save -> output.txt.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from kvq_tpu.data.datasets import make_synthetic_opt
+from kvq_tpu.train.trainer import Trainer
+
+SAMPLE_TYPES = {
+    "simpleVQA": dict(
+        resize=48, crop=32, clip_len=4, frame_interval=2, t_frag=4, num_clips=1
+    )
+}
+
+
+def tiny_config(tmp_path):
+    data_opt = make_synthetic_opt(
+        n_videos=6, n_frames=60, height=72, width=96,
+        sample_types=SAMPLE_TYPES, phase="train", with_features=True,
+    )
+    val_opt = make_synthetic_opt(
+        n_videos=4, n_frames=60, height=72, width=96,
+        sample_types=SAMPLE_TYPES, phase="test", with_features=True,
+    )
+    return {
+        "name": "tiny",
+        "num_epochs": 2,
+        "l_num_epochs": 0,
+        "warmup_epochs": 0.5,
+        "ema": True,
+        "save_model": True,
+        "batch_size": 3,
+        "num_workers": 2,
+        "seed": 0,
+        "load_path": None,
+        "data": {
+            "train": {"type": "SimpleVQADataset", "args": data_opt},
+            "val": {"type": "SimpleVQADataset", "args": val_opt},
+        },
+        "model": {
+            "type": "simpleVQA",
+            "compute_dtype": "float32",
+            "args": {
+                "simpleVQA": {
+                    "backbone": {"layers": [1, 1, 1, 1]},
+                    "head": {"hidden_channels": 16},
+                }
+            },
+        },
+        "optimizer": {"lr": 1e-3, "backbone_lr_mult": 1.0, "wd": 0.05},
+    }
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    import jax
+
+    workdir = str(tmp_path_factory.mktemp("work"))
+    cfg = tiny_config(workdir)
+    tr = Trainer(cfg, workdir=workdir)
+    tr.build_datasets()
+    sample = next(tr.train_loader.epoch(0))
+    tr.build_models(sample)
+    losses = []
+    for epoch in range(2):
+        for batch in tr.train_loader.epoch(epoch):
+            from kvq_tpu.train.trainer import array_batch
+
+            tr.state, aux = tr._train_step(
+                tr.state, array_batch(batch), jax.random.key(epoch)
+            )
+            losses.append(float(aux["total_loss"]))
+    return tr, losses, workdir
+
+
+def test_train_step_runs_and_loss_finite(trained):
+    tr, losses, _ = trained
+    assert len(losses) == 4  # 6 videos / batch 3 = 2 steps x 2 epochs
+    assert all(np.isfinite(l) for l in losses)
+    assert int(tr.state.step) == 4
+
+
+def test_ema_tracks_params(trained):
+    import jax
+
+    tr, _, _ = trained
+    # EMA must differ from params (lagging) but not be the init value
+    diff = jax.tree_util.tree_map(
+        lambda p, e: float(np.abs(np.asarray(p) - np.asarray(e)).max()),
+        tr.state.params,
+        tr.state.ema_params,
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_eval_and_best_checkpoint(trained):
+    tr, _, workdir = trained
+    m = tr.evaluate()
+    assert np.isfinite(m.srcc) and np.isfinite(m.rmse)
+    best = tr._eval_and_maybe_save(False, (-1, -1, -1, 1999), "n")
+    assert best[0] == m.srcc
+    path = os.path.join(workdir, "tiny_head_val_n_finetuned.msgpack")
+    assert os.path.exists(path)
+
+
+def test_inference_test_writes_output(trained, tmp_path):
+    tr, _, _ = trained
+    out = str(tmp_path / "output.txt")
+    results = tr.inference_test(out)
+    assert len(results) == 4
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 4
+    name, score = lines[0].split(",")
+    float(score)  # parses
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    from kvq_tpu.core import checkpoint as ckpt
+
+    tr, _, _ = trained
+    path = str(tmp_path / "state.msgpack")
+    ckpt.save_checkpoint(path, {"params": tr.state.params})
+    loaded = ckpt.load_checkpoint(path)
+    merged, report = ckpt.merge_params(tr.state.params, loaded["params"])
+    assert not report["missing"] and not report["unexpected"]
+
+
+def test_lr_schedule_matches_reference_lambda():
+    import math
+
+    from kvq_tpu.train.optim import warmup_cosine_schedule
+
+    sched = warmup_cosine_schedule(1e-3, warmup_iters=10, max_iters=100)
+    # warmup: cur/warmup * lr
+    assert float(sched(5)) == pytest.approx(5 / 10 * 1e-3)
+    assert float(sched(10)) == pytest.approx(1e-3)
+    # cosine after warmup: 0.5*(1+cos(pi*(t-w)/max))*lr
+    expected = 0.5 * (1 + math.cos(math.pi * (50 - 10) / 100)) * 1e-3
+    assert float(sched(50)) == pytest.approx(expected, rel=1e-6)
