@@ -45,6 +45,7 @@ def main():
                         "a1": 1,
                         "a2": 2,
                         "checkpoint": False,  # eval: no remat needed
+                        "use_pallas": True,
                     },
                     "head": {"in_channels": 768, "hidden_channels": 64},
                 }

@@ -56,6 +56,7 @@ class KSVQEConfig:
     drop_path_rate: float = 0.1
     frag_biases: tuple[bool, ...] = (True, True, True, False)
     use_checkpoint: bool = True
+    use_pallas: bool = False
     # reduced-geometry knobs for tests/dry-runs (defaults = paper shapes)
     contrique_layers: tuple[int, ...] = (3, 4, 6, 3)
     clip_layers: int = 12
@@ -76,6 +77,7 @@ def ksvqe_config(bb: dict | None) -> KSVQEConfig:
         a1=float(bb.get("a1", 1.0)),
         a2=float(bb.get("a2", 0.0)),
         use_checkpoint=bool(bb.get("checkpoint", True)),
+        use_pallas=bool(bb.get("use_pallas", False)),
         drop_path_rate=float(bb.get("drop_path_rate", 0.1)),
         anchor_size=int(bb.get("anchor_size", 32)),
         region_k=int(bb.get("region_k", 49)),
@@ -136,6 +138,7 @@ class KSVQE(nn.Module):
             frag_biases=cfg.frag_biases,
             jump_attention=(False,) * len(cfg.depths),
             use_checkpoint=cfg.use_checkpoint,
+            use_pallas=cfg.use_pallas,
         )
         self.layers = make_stages(swin_cfg, self.dtype)
         self.final_norm = nn.LayerNorm(dtype=self.dtype, name="norm")

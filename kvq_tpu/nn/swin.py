@@ -119,6 +119,75 @@ def compute_shift_mask(
 
 
 @lru_cache(maxsize=None)
+def _axis_token_ids(
+    dims: tuple[int, int, int],
+    window_size: tuple[int, int, int],
+    shift_size: tuple[int, int, int],
+    fragments: tuple[int, int, int],
+):
+    """Small per-axis token id tables for on-device gate/mask construction.
+
+    Returns (frag_ids, seg_ids): each a tuple of 3 arrays of shape
+    (wgrid_axis, N) — the fragment id / seam segment of every token of
+    every window position along that axis.  A few KB of constants instead
+    of the (nW, N, N) gate/mask literals (which at eval shapes exceed the
+    serialized-program limits and HBM budget).
+    """
+    N = window_size[0] * window_size[1] * window_size[2]
+    wd, wh, ww = window_size
+    tok = np.arange(N)
+    offs = (tok // (wh * ww), (tok // ww) % wh, tok % ww)
+    frag_ids = []
+    seg_ids = []
+    for ax in range(3):
+        dim, w, s, f = dims[ax], window_size[ax], shift_size[ax], fragments[ax]
+        grid = dim // w
+        starts = np.arange(grid) * w
+        g = starts[:, None] + offs[ax][None, :]  # (grid, N) rolled coords
+        orig = (g + s) % dim
+        frag_ids.append((orig * f // dim).astype(np.int32))
+        seg = np.where(g < dim - w, 0, np.where(g < dim - s, 1, 2) if s else 0)
+        seg_ids.append(seg.astype(np.int32))
+    return tuple(frag_ids), tuple(seg_ids)
+
+
+def fragment_gate_device(dims, fragments, window_size, shift_size):
+    """(nW, N, N) gate computed on device from per-axis constants;
+    numerically identical to :func:`fragment_gate`."""
+    frag_ids, _ = _axis_token_ids(dims, window_size, shift_size, fragments)
+    parts = []
+    for ids in frag_ids:
+        a = jnp.asarray(ids, jnp.float32)
+        parts.append(jnp.abs(a[:, None, :] - a[:, :, None]))  # (grid, N, N)
+    Dd, Dh, Dw = parts
+    gate = (
+        Dd[:, None, None]
+        + Dh[None, :, None]
+        + Dw[None, None, :]
+    )  # (gd, gh, gw, N, N)
+    n = gate.shape[0] * gate.shape[1] * gate.shape[2]
+    return gate.reshape(n, gate.shape[3], gate.shape[4])
+
+
+def shift_mask_device(dims, window_size, shift_size):
+    """(nW, N, N) additive seam mask on device (or None when unshifted)."""
+    if not any(shift_size):
+        return None
+    _, seg_ids = _axis_token_ids(
+        dims, window_size, shift_size, (1, 1, 1)
+    )
+    sd, sh, sw = (jnp.asarray(s, jnp.int32) for s in seg_ids)
+    seg = (
+        sd[:, None, None] * 9 + sh[None, :, None] * 3 + sw[None, None, :]
+    )  # (gd, gh, gw, N)
+    n = seg.shape[0] * seg.shape[1] * seg.shape[2]
+    seg = seg.reshape(n, -1)
+    return jnp.where(
+        seg[:, None, :] != seg[:, :, None], jnp.float32(-100.0), jnp.float32(0.0)
+    )
+
+
+@lru_cache(maxsize=None)
 def fragment_gate(
     dims: tuple[int, int, int],
     fragments: tuple[int, int, int],
@@ -169,8 +238,12 @@ class WindowAttention3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, fgate=None, *, train: bool = False):
+    def __call__(
+        self, x, mask=None, fgate=None, *, train: bool = False, geometry=None
+    ):
         # x: (B, nW, N, C); mask: (nW, N, N) or None; fgate: (nW, N, N) or None
+        # geometry: ops.window_attention.WindowGeometry to run the fused
+        # Pallas kernel (eval path) instead of the XLA composition.
         B, nW, N, C = x.shape
         h = self.num_heads
         hd = C // h
@@ -182,13 +255,9 @@ class WindowAttention3D(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(B, nW, N, 3, h, hd)
         q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,h,hd)
-        q = jnp.swapaxes(q, -3, -2) * scale  # (B,nW,h,N,hd)
+        q = jnp.swapaxes(q, -3, -2)  # (B,nW,h,N,hd)
         k = jnp.swapaxes(k, -3, -2)
         v = jnp.swapaxes(v, -3, -2)
-
-        attn = jnp.einsum(
-            "bwhnd,bwhmd->bwhnm", q, k, preferred_element_type=jnp.float32
-        )
 
         rpi = relative_position_index(self.table_window)[:N, :N]  # quirk: slice
         rel_table = self.param(
@@ -199,29 +268,50 @@ class WindowAttention3D(nn.Module):
         rel_bias = rel_table[rpi.reshape(-1)].reshape(N, N, h)
         rel_bias = rel_bias.transpose(2, 0, 1)  # (h, N, N) float32
 
-        if self.frag_bias and fgate is not None:
+        frag_planes = None
+        if self.frag_bias and (fgate is not None or geometry is not None):
             frag_table = self.param(
                 "fragment_position_bias_table",
                 trunc_normal_init(0.02),
                 (table_len, h),
             )
-            frag_bias = frag_table[rpi.reshape(-1)].reshape(N, N, h)
-            frag_bias = frag_bias.transpose(2, 0, 1)
-            g = fgate[:, None, :, :]  # (nW, 1, N, N)
-            bias = rel_bias[None] * g + frag_bias[None] * (1.0 - g)  # (nW,h,N,N)
+            frag_planes = frag_table[rpi.reshape(-1)].reshape(N, N, h)
+            frag_planes = frag_planes.transpose(2, 0, 1)
+
+        if geometry is not None and not train:
+            from ..ops.window_attention import flash_window_attention
+
+            qf = q.reshape(B * nW, h, N, hd)
+            kf = k.reshape(B * nW, h, N, hd)
+            vf = v.reshape(B * nW, h, N, hd)
+            out = flash_window_attention(
+                qf, kf, vf,
+                rel_bias.astype(jnp.float32),
+                None if frag_planes is None else frag_planes.astype(jnp.float32),
+                geometry,
+                scale=scale,
+            )
+            out = out.reshape(B, nW, h, N, hd)
         else:
-            bias = rel_bias[None]  # (1, h, N, N)
+            attn = jnp.einsum(
+                "bwhnd,bwhmd->bwhnm", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            if frag_planes is not None and fgate is not None:
+                g = fgate[:, None, :, :]  # (nW, 1, N, N)
+                bias = rel_bias[None] * g + frag_planes[None] * (1.0 - g)
+            else:
+                bias = rel_bias[None]  # (1, h, N, N)
+            attn = attn + bias[None]  # (B, nW, h, N, N)
+            if mask is not None:
+                attn = attn + mask[None, :, None, :, :]
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum(
+                "bwhnm,bwhmd->bwhnd", attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
 
-        attn = attn + bias[None]  # (B, nW, h, N, N)
-        if mask is not None:
-            attn = attn + mask[None, :, None, :, :]
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-
-        out = jnp.einsum(
-            "bwhnm,bwhmd->bwhnd", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        )
         out = jnp.swapaxes(out, -3, -2).reshape(B, nW, N, C).astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
@@ -259,6 +349,7 @@ class SwinBlock3D(nn.Module):
     frag_bias: bool = False
     jump_attention: bool = False
     fragments_hw: int = 7
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -282,13 +373,37 @@ class SwinBlock3D(nn.Module):
             if any(shift):
                 y = jnp.roll(y, shift=(-shift[0], -shift[1], -shift[2]),
                              axis=(1, 2, 3))
-            mask = compute_shift_mask((Dp, Hp, Wp), window, shift)
-            fgate = fragment_gate(
-                (Dp, Hp, Wp), (1, self.fragments_hw, self.fragments_hw),
-                window, shift,
-            )
-            mask_j = None if mask is None else jnp.asarray(mask)
-            fgate_j = jnp.asarray(fgate)
+
+            geometry = None
+            mask_j = fgate_j = None
+            if self.use_pallas and not train:
+                from ..ops.window_attention import WindowGeometry
+
+                geometry = WindowGeometry(
+                    batch=B,
+                    dims=(Dp, Hp, Wp),
+                    window=window,
+                    shift=shift,
+                    fragments=(1, self.fragments_hw, self.fragments_hw),
+                    num_heads=self.num_heads,
+                    head_dim=C // self.num_heads,
+                    use_frag=self.frag_bias,
+                )
+            else:
+                # built on device from small per-axis constants — the naive
+                # (nW, N, N) numpy literals blow up the serialized program
+                # at eval shapes (236 MB per block)
+                mask_j = shift_mask_device((Dp, Hp, Wp), window, shift)
+                fgate_j = (
+                    fragment_gate_device(
+                        (Dp, Hp, Wp),
+                        (1, self.fragments_hw, self.fragments_hw),
+                        window,
+                        shift,
+                    )
+                    if self.frag_bias
+                    else None
+                )
 
             y = window_partition(y, window)  # (B, nW, N, C)
             y = WindowAttention3D(
@@ -300,7 +415,7 @@ class SwinBlock3D(nn.Module):
                 proj_drop=self.drop,
                 dtype=self.dtype,
                 name="attn",
-            )(y, mask_j, fgate_j, train=train)
+            )(y, mask_j, fgate_j, train=train, geometry=geometry)
             y = window_reverse(y, window, B, Dp, Hp, Wp)
             if any(shift):
                 y = jnp.roll(y, shift=shift, axis=(1, 2, 3))
@@ -335,6 +450,7 @@ class BasicLayer(nn.Module):
     jump_attention: bool = False
     fragments_hw: int = 7
     use_checkpoint: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -355,6 +471,7 @@ class BasicLayer(nn.Module):
                 frag_bias=self.frag_bias,
                 jump_attention=self.jump_attention,
                 fragments_hw=self.fragments_hw,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
@@ -380,6 +497,7 @@ class SwinConfig:
     jump_attention: tuple[bool, ...] = (False, False, False, False)
     fragments_hw: int = 7
     use_checkpoint: bool = True
+    use_pallas: bool = False
     input_key: str = "technical"
 
 
@@ -400,6 +518,8 @@ def swin_config(key: str, backbone_cfg: dict | None) -> SwinConfig:
         kw["window_size"] = tuple(backbone_cfg["window_size"])
     if "checkpoint" in backbone_cfg:
         kw["use_checkpoint"] = bool(backbone_cfg["checkpoint"])
+    if "use_pallas" in backbone_cfg:
+        kw["use_pallas"] = bool(backbone_cfg["use_pallas"])
     return SwinConfig(**kw)
 
 
@@ -428,6 +548,7 @@ def make_stages(cfg: "SwinConfig", dtype, named: bool = False) -> list:
                 jump_attention=bool(cfg.jump_attention[i]),
                 fragments_hw=cfg.fragments_hw,
                 use_checkpoint=cfg.use_checkpoint,
+                use_pallas=cfg.use_pallas,
                 dtype=dtype,
                 name=f"layers_{i}" if named else None,
             )
