@@ -37,6 +37,47 @@ def _filter_view_opts(sopt: dict) -> dict:
     return {k: v for k, v in sopt.items() if k not in drop}
 
 
+def _native_fragment_views(raw: np.ndarray, sopt: dict, rng):
+    """Fused native (C++) fragment-mosaic + resize views for the KVQ
+    sample; returns (fragment, resize_video) float32 or None to fall back
+    to the numpy path (library not built, upsample fallback needed, or
+    non-uint8 input)."""
+    try:
+        from .. import runtime
+    except Exception:
+        return None
+    if not runtime.available() or raw.dtype != np.uint8:
+        return None
+    fh = sopt.get("fragments_h", 7)
+    fw = sopt.get("fragments_w", 7)
+    sh_, sw_ = sopt.get("fsize_h", 32), sopt.get("fsize_w", 32)
+    aligned = sopt.get("aligned", 32)
+    T, H, W = raw.shape[:3]
+    if T == 1:
+        aligned = 1
+    if min(H / (fh * sh_), W / (fw * sw_)) < 1:
+        return None  # upsample fallback path stays in numpy
+    if T % aligned != 0:
+        return None
+    from .fragments import fragment_index_maps
+
+    ymap, xmap = fragment_index_maps(
+        H, W, T, fh, fw, sh_, sw_, aligned, rng=rng
+    )
+    fragment = runtime.fragment_mosaic_normalize(
+        raw, ymap, xmap, aligned, V.IMAGENET_255_MEAN, V.IMAGENET_255_STD
+    )
+    resize = runtime.resize_normalize(
+        raw,
+        sopt.get("size_h", 224),
+        sopt.get("size_w", 224),
+        V.CLIP_MEAN,
+        V.CLIP_STD,
+        div255=True,
+    )
+    return fragment, resize
+
+
 class _ViewDatasetBase:
     """Common machinery: annotation list, samplers, per-sample RNG."""
 
@@ -104,10 +145,14 @@ class KVQDataset(_ViewDatasetBase):
         data: dict[str, Any] = {}
         for stype, raw in videos.items():
             sopt = _filter_view_opts(self.sample_types[stype])
-            frag = V.get_single_view(raw, stype, rng=rng, **sopt)
-            resize = V.get_resized_video(raw, **sopt)
-            data["fragment"] = V.normalize(frag, "imagenet_255")
-            data["resize_video"] = V.normalize(resize, "clip")
+            frag_native = _native_fragment_views(raw, sopt, rng)
+            if frag_native is not None:
+                data["fragment"], data["resize_video"] = frag_native
+            else:
+                frag = V.get_single_view(raw, stype, rng=rng, **sopt)
+                resize = V.get_resized_video(raw, **sopt)
+                data["fragment"] = V.normalize(frag, "imagenet_255")
+                data["resize_video"] = V.normalize(resize, "clip")
             data["ori_fragment"] = get_spatial_fragments(raw, rng=rng, **sopt).astype(
                 np.float32
             )

@@ -113,6 +113,14 @@ def open_video(path_or_source, pad_short: int | None = None) -> VideoSource:
         return path_or_source
     if hasattr(path_or_source, "get_frames"):
         return path_or_source
+    # prefer the native C++ decode service when built
+    try:
+        from .. import runtime
+
+        if runtime.available():
+            return runtime.NativeVideoSource(str(path_or_source), pad_short)
+    except Exception:
+        pass
     return OpenCVVideoSource(str(path_or_source), pad_short=pad_short)
 
 
