@@ -62,13 +62,30 @@ class TrainState:
 
 
 class Trainer:
-    def __init__(self, config: dict, workdir: str = "./work", test_set: str = "val"):
+    def __init__(
+        self,
+        config: dict,
+        workdir: str = "./work",
+        test_set: str = "val",
+        mesh=None,
+    ):
         self.config = config
         self.workdir = workdir
         self.test_set = test_set
         self.key_list = key_list(config)
         self.is_ksvqe = config["model"]["type"] == "KSVQE"
-        self.model = VQANetwork(config=config)
+        # multi-device DP: build a data mesh when requested (config['ddp'])
+        # or when one is passed explicitly.  SyncBN (the DDP path's
+        # BatchNorm pmean) needs the axis name at module construction.
+        if mesh is None and bool(config.get("ddp")) and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(data=len(jax.devices()))
+        self.mesh = mesh
+        self.model = VQANetwork(
+            config=config,
+            bn_axis_name="data" if mesh is not None else None,
+        )
         self.ema_decay = float(config.get("ema_decay", 0.999))
         self.use_ema = bool(config.get("ema", True))
         self.best = (-1.0, -1.0, -1.0, 1999.0)
@@ -77,6 +94,8 @@ class Trainer:
         self.train_loader: Loader | None = None
         self.val_loader: Loader | None = None
         self._tx = None
+        self._mesh_train_step = None
+        self._mesh_eval_model = None
 
     # ------------------------------------------------------------------ data
     def build_datasets(self) -> None:
@@ -233,6 +252,22 @@ class Trainer:
     def train_epoch(self, epoch: int, rng) -> dict:
         assert self.state is not None and self.train_loader is not None
         last_aux: dict = {}
+        if self.mesh is not None:
+            from ..parallel import sharding as shd
+            from ..parallel import steps as psteps
+
+            if self._mesh_train_step is None:
+                self._mesh_train_step = psteps.make_ddp_train_step(
+                    self.model, self._tx, self.config, self.mesh, self.ema_decay
+                )
+            for batch in self.train_loader.epoch(epoch):
+                rng, step_rng = jax.random.split(rng)
+                sb = shd.shard_batch(self.mesh, array_batch(batch))
+                self.state, aux = self._mesh_train_step(
+                    self.state, sb, step_rng
+                )
+                last_aux = aux
+            return {k: float(v) for k, v in last_aux.items()}
         it = device_prefetch(self.train_loader.epoch(epoch))
         for batch in it:
             rng, step_rng = jax.random.split(rng)
