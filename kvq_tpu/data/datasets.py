@@ -196,7 +196,13 @@ class SimpleVQADataset(_ViewDatasetBase):
                 )
 
     def _load_features(self, video_name: str) -> np.ndarray:
-        n = self.VIDEO_LENGTH_READ
+        # reference hardcodes 8 = its clip_len (fusion_datasets.py:860);
+        # follow clip_len so features align with frames for any config
+        n = next(
+            (s.get("clip_len", self.VIDEO_LENGTH_READ)
+             for s in self.sample_types.values()),
+            self.VIDEO_LENGTH_READ,
+        )
         if self.feature_factory is not None:
             return np.asarray(self.feature_factory(video_name), dtype=np.float32)
         folder = osp.join(self.data_prefix_3d, video_name)
