@@ -67,42 +67,63 @@ def make_model_and_batch(B, T, jnp, jax):
     return VQANetwork(config=config), batch
 
 
-def measure(B, T=96, n_iters=8):
+def measure(B, T=96, reps=3):
+    """Device-time measurement robust to the remote-execution tunnel:
+    run K eval steps *inside one jitted program* with a data-dependency
+    chain and a scalar readback, then difference two K values — this
+    cancels the fixed per-call round-trip (~30 ms) and defeats any
+    identical-call caching.  (block_until_ready does NOT synchronize on
+    this platform; only host readback does.)"""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     model, batch = make_model_and_batch(B, T, jnp, jax)
 
     t0 = time.time()
-    init_fn = jax.jit(lambda: model.init(
-        {"params": jax.random.key(0), "qrs": jax.random.key(1)},
-        batch,
-        train=False,
-    ))
-    variables = init_fn()
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), variables)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.key(0), "qrs": jax.random.key(1)},
+            batch,
+            train=False,
+        )
+    )()
+    _ = float(
+        jax.tree_util.tree_leaves(variables["params"])[0].reshape(-1)[0]
+    )  # force
     init_s = time.time() - t0
 
-    @jax.jit
-    def eval_step(vs, b):
-        scores, _ = model.apply(vs, b, train=False, reduce_scores=True)
-        return scores
+    @functools.partial(jax.jit, static_argnums=2)
+    def eval_n(vs, b, n):
+        acc = jnp.float32(0)
+        frag = b["fragment"]
+        for _ in range(n):
+            bb = dict(b, fragment=frag)
+            scores, _ = model.apply(vs, bb, train=False, reduce_scores=True)
+            s = jnp.sum(scores.astype(jnp.float32))
+            acc = acc + s
+            # data dependency: next iteration's input depends on this score
+            frag = b["fragment"] + (s * jnp.float32(1e-6)).astype(frag.dtype)
+        return acc
 
+    n1, n2 = 1, 5
     t0 = time.time()
-    eval_step(variables, batch).block_until_ready()
+    float(eval_n(variables, batch, n1))
     compile_s = time.time() - t0
+    float(eval_n(variables, batch, n2))  # compile the long variant
 
-    # perturb inputs each iteration to defeat remote-execution caching;
-    # block per step for honest latency
-    times = []
-    for i in range(n_iters):
-        b = dict(batch)
-        b["fragment"] = batch["fragment"] + jnp.bfloat16(0.001 * (i + 1))
-        jax.block_until_ready(b["fragment"])
-        t0 = time.time()
-        eval_step(variables, b).block_until_ready()
-        times.append(time.time() - t0)
-    step_s = float(np.min(times))
+    def timed(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            float(eval_n(variables, batch, n))
+            best = min(best, time.time() - t0)
+        return best
+
+    t_short = timed(n1)
+    t_long = timed(n2)
+    step_s = max((t_long - t_short) / (n2 - n1), 1e-9)
     return B / step_s, step_s, init_s, compile_s
 
 

@@ -96,6 +96,9 @@ class Trainer:
         self._tx = None
         self._mesh_train_step = None
         self._mesh_eval_model = None
+        from ..core.logging import MetricLogger
+
+        self.logger = MetricLogger(workdir, str(config.get("name", "train")))
 
     # ------------------------------------------------------------------ data
     def build_datasets(self) -> None:
@@ -290,10 +293,22 @@ class Trainer:
 
     def train_eval_all_epoches(self, epoch: int, rng=None):
         rng = rng if rng is not None else jax.random.key(epoch)
-        self.train_epoch(epoch, rng)
+        aux = self.train_epoch(epoch, rng)
+        step = int(self.state.step) if self.state is not None else 0
+        self.logger.log(step, aux, prefix="train/")
         self.best = self._eval_and_maybe_save(False, self.best, "n")
         if self.use_ema:
             self.best_ema = self._eval_and_maybe_save(True, self.best_ema, "s")
+        self.logger.log(
+            step,
+            {
+                "best_srcc": self.best[0],
+                "best_plcc": self.best[1],
+                "best_krcc": self.best[2],
+                "best_rmse": self.best[3],
+            },
+            prefix=f"val_{'n'}/",
+        )
         return self.best, self.best_ema
 
     def _eval_and_maybe_save(self, use_ema: bool, best: tuple, suffix: str):
