@@ -33,6 +33,11 @@ def parse_args(argv=None):
     p.add_argument("--local_rank", type=int, default=0, help="ignored")
     p.add_argument("--epochs", type=int, default=None, help="override")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--resume_from",
+        default=None,
+        help="full train-state checkpoint to resume (params/opt/EMA/step)",
+    )
     return p.parse_args(argv)
 
 
@@ -48,12 +53,18 @@ def main(argv=None):
     trainer.build_datasets()
     sample = next(trainer.train_loader.epoch(0))
     trainer.build_models(sample, seed=args.seed)
+    if args.resume_from:
+        trainer.load_full_state(args.resume_from)
+        print(f"resumed from {args.resume_from} at step {int(trainer.state.step)}")
 
     n_epochs = args.epochs or int(config["num_epochs"])
     rng = jax.random.key(args.seed)
     for epoch in range(n_epochs):
         rng, erng = jax.random.split(rng)
         best, best_ema = trainer.train_eval_all_epoches(epoch, erng)
+        trainer.save_full_state(
+            os.path.join(args.resume, f"{config['name']}_last_state.msgpack")
+        )
         print(
             f"epoch {epoch}: best SRCC/PLCC/KRCC/RMSE = "
             f"{best[0]:.4f}/{best[1]:.4f}/{best[2]:.4f}/{best[3]:.4f} | "

@@ -95,6 +95,79 @@ def get_resizecrop_video(
     return v[:, rh : rh + crop, rw : rw + crop]
 
 
+def get_cropped_video(
+    video: np.ndarray,
+    size_h: int = 224,
+    size_w: int = 224,
+    rng: np.random.Generator | None = None,
+    **kwargs: object,
+) -> np.ndarray:
+    """Single jittered crop = a 1x1 fragment grid
+    (reference get_cropped_video, fusion_datasets.py:318-323)."""
+    from .fragments import get_spatial_fragments
+
+    kwargs = dict(kwargs)
+    kwargs.update(fragments_h=1, fragments_w=1, fsize_h=size_h, fsize_w=size_w)
+    return get_spatial_fragments(video, rng=rng, **kwargs)  # type: ignore[arg-type]
+
+
+def get_arp_resized_video(
+    video: np.ndarray,
+    short_edge: int = 224,
+    phase: str = "train",
+    rng: np.random.Generator | None = None,
+    **_: object,
+) -> np.ndarray:
+    """Aspect-ratio-preserving resize; train mode first random-crops to a
+    square (reference get_arp_resized_video, fusion_datasets.py:257-276)."""
+    t, h, w = video.shape[:3]
+    short = min(h, w)
+    if phase == "train" and (h > short or w > short):
+        rng = rng if rng is not None else np.random.default_rng(0)
+        if h > short:
+            y = int(rng.integers(0, h - short))
+            video = video[:, y : y + short]
+        elif w > short:
+            x = int(rng.integers(0, w - short))
+            video = video[:, :, x : x + short]
+        h, w = video.shape[1], video.shape[2]
+    scale = short_edge / min(h, w)
+    return get_resized_video(video, int(round(h * scale)), int(round(w * scale)))
+
+
+def get_arp_fragment_video(
+    video: np.ndarray,
+    short_fragments: int = 7,
+    fsize: int = 32,
+    phase: str = "train",
+    rng: np.random.Generator | None = None,
+    **kwargs: object,
+) -> np.ndarray:
+    """ARP fragments: short edge gets ``short_fragments`` cells
+    (reference get_arp_fragment_video, fusion_datasets.py:325-347 —
+    including its hardcoded 2 on the long edge)."""
+    from .fragments import get_spatial_fragments
+
+    t, h, w = video.shape[:3]
+    if phase == "train":
+        rng = rng if rng is not None else np.random.default_rng(0)
+        short = min(h, w)
+        if h > short:
+            y = int(rng.integers(0, h - short))
+            video = video[:, y : y + short]
+        elif w > short:
+            x = int(rng.integers(0, w - short))
+            video = video[:, :, x : x + short]
+        h, w = video.shape[1], video.shape[2]
+    kwargs = dict(kwargs)
+    kwargs.update(fsize_h=fsize, fsize_w=fsize)
+    if h > w:
+        kwargs.update(fragments_w=short_fragments, fragments_h=2)
+    else:
+        kwargs.update(fragments_h=short_fragments, fragments_w=2)
+    return get_spatial_fragments(video, rng=rng, **kwargs)  # type: ignore[arg-type]
+
+
 def get_single_view(
     video: np.ndarray,
     sample_type: str = "aesthetic",

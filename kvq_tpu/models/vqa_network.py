@@ -78,8 +78,10 @@ class VQANetwork(nn.Module):
         *,
         train: bool = False,
         reduce_scores: bool = False,
+        return_pooled_feats: bool = False,
     ):
         scores = []
+        feats: dict[str, Any] = {}
         dis_contra_loss = None
         for key in self.key_names:
             backbone = getattr(self, f"{key}_backbone")
@@ -89,11 +91,18 @@ class VQANetwork(nn.Module):
             else:
                 feat = backbone(inputs, train=train)
             scores.append(head(feat, train=train))
+            if return_pooled_feats:
+                feats[key] = feat
         if reduce_scores:
             out = scores[0]
             for s in scores[1:]:
                 out = out + s
             scores = out
+        # return arity mirrors reference models/model.py:105-121
+        if return_pooled_feats:
+            if dis_contra_loss is not None:
+                return scores, feats, dis_contra_loss
+            return scores, feats
         if dis_contra_loss is not None:
             return scores, dis_contra_loss
         return scores

@@ -26,8 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import flax.serialization as _fser
+
 from ..core import checkpoint as ckpt
 from ..core.config import key_list, model_keys
+
+
+def ser_to_state(opt_state):
+    """optax state -> serializable nested dict."""
+    return _fser.to_state_dict(opt_state)
 from ..core.metrics import vqa_metrics
 from ..core.registry import DATASETS
 from ..data.pipeline import Loader, collate, device_prefetch
@@ -164,6 +171,50 @@ class Trainer:
             else (),
             step=jnp.asarray(0, jnp.int32),
         )
+
+    def save_full_state(self, path: str) -> None:
+        """Full train-state checkpoint (params/opt/EMA/step) — resume
+        capability the reference lacks (SURVEY.md §5 Checkpoint/resume)."""
+        assert self.state is not None
+        ckpt.save_checkpoint(
+            path,
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": ser_to_state(self.state.opt_state),
+                "ema_params": self.state.ema_params,
+                "step": np.asarray(self.state.step),
+                "best": np.asarray(self.best),
+                "best_ema": np.asarray(self.best_ema),
+            },
+        )
+
+    def load_full_state(self, path: str) -> None:
+        assert self.state is not None, "call build_models first"
+        loaded = ckpt.load_checkpoint(path)
+        params, _ = ckpt.merge_params(self.state.params, loaded["params"])
+        stats, _ = ckpt.merge_params(
+            self.state.batch_stats, loaded.get("batch_stats", {})
+        )
+        ema = self.state.ema_params
+        if self.use_ema and "ema_params" in loaded:
+            ema, _ = ckpt.merge_params(self.state.ema_params, loaded["ema_params"])
+        opt_state = self.state.opt_state
+        if "opt_state" in loaded:
+            import flax.serialization as fser
+
+            opt_state = fser.from_state_dict(self.state.opt_state, loaded["opt_state"])
+        self.state = TrainState(
+            params=params,
+            batch_stats=stats,
+            opt_state=opt_state,
+            ema_params=ema,
+            step=jnp.asarray(int(loaded.get("step", 0)), jnp.int32),
+        )
+        if "best" in loaded:
+            self.best = tuple(float(x) for x in np.asarray(loaded["best"]))
+        if "best_ema" in loaded:
+            self.best_ema = tuple(float(x) for x in np.asarray(loaded["best_ema"]))
 
     # ------------------------------------------------------------------ steps
     @functools.partial(jax.jit, static_argnums=0)
