@@ -239,3 +239,84 @@ def convert_swin3d(
     else:
         p.update(tp)
     return p
+
+
+# --------------------------------------------------------------------------
+# Full CLIP (text encoder + either visual tower) -> kvq_tpu.nn.clip_model.CLIP
+
+
+def _convert_attn_blocks(
+    p: dict, sd: Mapping[str, np.ndarray], src_prefix: str, dst_prefix: str,
+    n_layers: int,
+) -> None:
+    """torch nn.MultiheadAttention resblocks -> ResidualAttentionBlock tree
+    (shared by the visual and text transformers, clip/model.py:178-250)."""
+    for i in range(n_layers):
+        src = f"{src_prefix}.{i}"
+        dst = f"{dst_prefix}resblocks_{i}"
+        _set(p, f"{dst}/attn/in_proj/kernel", linear(sd[f"{src}.attn.in_proj_weight"]))
+        _set(p, f"{dst}/attn/in_proj/bias", sd[f"{src}.attn.in_proj_bias"])
+        _set(p, f"{dst}/attn/out_proj/kernel", linear(sd[f"{src}.attn.out_proj.weight"]))
+        _set(p, f"{dst}/attn/out_proj/bias", sd[f"{src}.attn.out_proj.bias"])
+        _ln(p, f"{dst}/ln_1", sd, f"{src}.ln_1")
+        _ln(p, f"{dst}/ln_2", sd, f"{src}.ln_2")
+        _set(p, f"{dst}/mlp_c_fc/kernel", linear(sd[f"{src}.mlp.c_fc.weight"]))
+        _set(p, f"{dst}/mlp_c_fc/bias", sd[f"{src}.mlp.c_fc.bias"])
+        _set(p, f"{dst}/mlp_c_proj/kernel", linear(sd[f"{src}.mlp.c_proj.weight"]))
+        _set(p, f"{dst}/mlp_c_proj/bias", sd[f"{src}.mlp.c_proj.bias"])
+
+
+def convert_clip_full(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
+    """OpenAI CLIP state_dict -> (params, batch_stats) for
+    :class:`kvq_tpu.nn.clip_model.CLIP` — the counterpart of the reference's
+    shape-inferred ``build_model`` loader (clip/model.py:455-482)."""
+    from ..nn.clip_model import clip_config_from_state_dict
+
+    cfg = clip_config_from_state_dict(sd)
+    p: dict = {}
+    s: dict = {}
+    if isinstance(cfg.vision_layers, tuple):  # ModifiedResNet tower
+        for ci in (1, 2, 3):
+            _set(
+                p,
+                f"visual/stem_conv{ci}/kernel",
+                conv2d(sd[f"visual.conv{ci}.weight"]),
+            )
+            _bn(p, s, f"visual/stem_bn{ci}", sd, f"visual.bn{ci}")
+        for li, n_blocks in enumerate(cfg.vision_layers):
+            for b in range(n_blocks):
+                src = f"visual.layer{li + 1}.{b}"
+                dst = f"visual/layer{li + 1}_{b}"
+                for ci in (1, 2, 3):
+                    _set(
+                        p,
+                        f"{dst}/conv{ci}/kernel",
+                        conv2d(sd[f"{src}.conv{ci}.weight"]),
+                    )
+                    _bn(p, s, f"{dst}/bn{ci}", sd, f"{src}.bn{ci}")
+                if f"{src}.downsample.0.weight" in sd:
+                    _set(
+                        p,
+                        f"{dst}/downsample_conv/kernel",
+                        conv2d(sd[f"{src}.downsample.0.weight"]),
+                    )
+                    _bn(p, s, f"{dst}/downsample_bn", sd, f"{src}.downsample.1")
+        ap = "visual/attnpool"
+        _set(p, f"{ap}/positional_embedding", sd["visual.attnpool.positional_embedding"])
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            _set(p, f"{ap}/{proj}/kernel", linear(sd[f"visual.attnpool.{proj}.weight"]))
+            _set(p, f"{ap}/{proj}/bias", sd[f"visual.attnpool.{proj}.bias"])
+    else:  # ViT tower
+        p["visual"] = convert_clip_visual(sd, n_layers=cfg.vision_layers)
+        _ln(p, "visual_ln_post", sd, "visual.ln_post")
+        _set(p, "visual_proj", sd["visual.proj"])
+    # text encoder
+    _set(p, "text/token_embedding", sd["token_embedding.weight"])
+    _set(p, "text/positional_embedding", sd["positional_embedding"])
+    _convert_attn_blocks(
+        p, sd, "transformer.resblocks", "text/", cfg.transformer_layers
+    )
+    _ln(p, "text/ln_final", sd, "ln_final")
+    _set(p, "text/text_projection", sd["text_projection"])
+    _set(p, "logit_scale", sd["logit_scale"])
+    return p, s

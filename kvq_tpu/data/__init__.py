@@ -9,3 +9,4 @@ from .datasets import (  # noqa: F401
     ViewDecompositionDataset_KVQ,
     ViewDecompositionDataset_add_forSimpleVQA,
 )
+from .tokenizer import SimpleTokenizer, tokenize  # noqa: F401

@@ -1,1 +1,2 @@
 from . import layers, resnet, heads  # noqa: F401
+from . import clip_model  # noqa: F401

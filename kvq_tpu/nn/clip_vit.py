@@ -40,7 +40,7 @@ class CLIPAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_bias=None):
         B, N, C = x.shape
         h = self.num_heads
         hd = C // h
@@ -53,6 +53,8 @@ class CLIPAttention(nn.Module):
         q, k, v = heads(q) * hd**-0.5, heads(k), heads(v)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)
+        if attn_bias is not None:
+            attn = attn + attn_bias  # e.g. the text encoder's causal mask
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
@@ -64,9 +66,11 @@ class ResidualAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_bias=None):
         y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        x = x + CLIPAttention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        x = x + CLIPAttention(self.num_heads, dtype=self.dtype, name="attn")(
+            y, attn_bias
+        )
         y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(4 * x.shape[-1], dtype=self.dtype, name="mlp_c_fc")(y)
         y = quick_gelu(y)
