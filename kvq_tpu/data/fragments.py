@@ -179,3 +179,35 @@ def get_spatial_fragments_jax(video, ymap, xmap, aligned: int):
     ym = jnp.asarray(ymap)[tg]  # (T, size_h, size_w)
     xm = jnp.asarray(xmap)[tg]
     return video[jnp.arange(t)[:, None, None], ym, xm]
+
+
+def get_spatial_cropped_fragments(
+    video: np.ndarray,
+    fragments_h: int = 7,
+    fragments_w: int = 7,
+    fsize_h: int = 32,
+    fsize_w: int = 32,
+    aligned: int = 32,
+    fallback_type: str = "upsample",
+    rng: np.random.Generator | None = None,
+    **_: object,
+) -> np.ndarray:
+    """Center-cropped fragment variant (reference
+    get_spatial_cropped_fragments, fusion_datasets.py:123-226): crop the
+    height to a centered band of 2/3 the *width*, then build the standard
+    mosaic over the crop.  (T, H, W, C) channels-last in/out."""
+    res_h, res_w = video.shape[1], video.shape[2]
+    center_h = res_h // 2
+    crop_h = res_w // 3 * 2
+    top = max(center_h - crop_h // 2, 0)
+    cropped = video[:, top : top + crop_h]
+    return get_spatial_fragments(
+        cropped,
+        fragments_h=fragments_h,
+        fragments_w=fragments_w,
+        fsize_h=fsize_h,
+        fsize_w=fsize_w,
+        aligned=aligned,
+        fallback_type=fallback_type,
+        rng=rng,
+    )

@@ -99,3 +99,72 @@ def make_sampler(
         sopt["num_clips"],
         rng=rng,
     )
+
+
+class FragmentSampleFrames(UnifiedFrameSampler):
+    """Legacy FastVQA sampler (reference basic_datasets.py:110-147).
+
+    Same index math as :class:`UnifiedFrameSampler` with drop_rate=0; kept
+    as a named class so legacy configs referencing it keep working.
+    """
+
+    def __init__(self, fsize_t, fragments_t, frame_interval=1, num_clips=1,
+                 rng=None):
+        super().__init__(fsize_t, fragments_t, frame_interval, num_clips,
+                         drop_rate=0.0, rng=rng)
+
+
+class SampleFrames:
+    """mmaction-style dense clip sampler (reference basic_datasets.py:150-231).
+
+    Train: clips start at random offsets within each average interval;
+    test: clips are centered (offset + avg_interval/2).  Unlike
+    UnifiedFrameSampler this one *does* honor the ``train`` flag.
+    """
+
+    def __init__(self, clip_len: int, frame_interval: int = 1,
+                 num_clips: int = 1,
+                 rng: np.random.Generator | None = None):
+        self.clip_len = clip_len
+        self.frame_interval = frame_interval
+        self.num_clips = num_clips
+        self.rng = rng if rng is not None else np.random.default_rng(0)
+
+    def _train_offsets(self, num_frames: int) -> np.ndarray:
+        ori_clip_len = self.clip_len * self.frame_interval
+        avg_interval = (num_frames - ori_clip_len + 1) // self.num_clips
+        if avg_interval > 0:
+            base = np.arange(self.num_clips) * avg_interval
+            return base + self.rng.integers(avg_interval, size=self.num_clips)
+        if num_frames > max(self.num_clips, ori_clip_len):
+            return np.sort(
+                self.rng.integers(
+                    num_frames - ori_clip_len + 1, size=self.num_clips
+                )
+            )
+        if avg_interval == 0:
+            ratio = (num_frames - ori_clip_len + 1.0) / self.num_clips
+            return np.around(np.arange(self.num_clips) * ratio)
+        return np.zeros((self.num_clips,), dtype=np.int64)
+
+    def _test_offsets(self, num_frames: int) -> np.ndarray:
+        ori_clip_len = self.clip_len * self.frame_interval
+        avg_interval = (num_frames - ori_clip_len + 1) / float(self.num_clips)
+        if num_frames > ori_clip_len - 1:
+            base = np.arange(self.num_clips) * avg_interval
+            return (base + avg_interval / 2.0).astype(np.int32)
+        return np.zeros((self.num_clips,), dtype=np.int32)
+
+    def __call__(self, total_frames: int, train: bool = False,
+                 start_index: int = 0) -> np.ndarray:
+        offsets = (
+            self._train_offsets(total_frames)
+            if train
+            else self._test_offsets(total_frames)
+        )
+        inds = (
+            offsets[:, None]
+            + np.arange(self.clip_len)[None, :] * self.frame_interval
+        )
+        inds = np.mod(inds.reshape(-1, self.clip_len), total_frames)
+        return (inds.reshape(-1) + start_index).astype(np.int32)

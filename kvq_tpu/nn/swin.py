@@ -598,3 +598,21 @@ class SwinTransformer3D(nn.Module):
         )
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(feats[-1])
         return x  # (B, D', H', W', num_features)
+
+
+def swin_2d_tiny(dtype=jnp.float32, **overrides) -> "SwinTransformer3D":
+    """2D Swin-Tiny trunk (reference SwinTransformer2D,
+    swin_backbone.py:1098-1103 — timm swin_tiny_patch4_window7_224 minus the
+    classifier head).
+
+    TPU-first equivalent: the 3D machinery specialized to a temporal window
+    and patch of 1, which makes every block an exact per-frame 2D shifted
+    window attention (no temporal mixing) while reusing the fused kernels.
+    """
+    cfg = SwinConfig(
+        patch_size=(1, 4, 4),
+        window_size=(1, 7, 7),
+        frag_biases=(False,) * 4,
+        **overrides,
+    )
+    return SwinTransformer3D(config=cfg, dtype=dtype)

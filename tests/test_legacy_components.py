@@ -1,0 +1,88 @@
+"""Legacy/auxiliary components: SampleFrames, FragmentSampleFrames,
+get_spatial_cropped_fragments, swin_2d_tiny (reference
+basic_datasets.py:110-231, fusion_datasets.py:123-226,
+swin_backbone.py:1098)."""
+
+import numpy as np
+
+from kvq_tpu.data.fragments import get_spatial_cropped_fragments
+from kvq_tpu.data.samplers import FragmentSampleFrames, SampleFrames
+
+
+def test_fragment_sample_frames_matches_unified():
+    rng1 = np.random.default_rng(7)
+    rng2 = np.random.default_rng(7)
+    from kvq_tpu.data.samplers import UnifiedFrameSampler
+
+    legacy = FragmentSampleFrames(4, 8, frame_interval=2, num_clips=2, rng=rng1)
+    unified = UnifiedFrameSampler(4, 8, 2, 2, rng=rng2)
+    np.testing.assert_array_equal(legacy(300), unified(300))
+
+
+def test_sample_frames_test_mode_deterministic_centered():
+    s = SampleFrames(clip_len=8, frame_interval=2, num_clips=3)
+    a = s(200, train=False)
+    b = s(200, train=False)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (24,)
+    # clips are centered: first offset = avg_interval/2
+    avg = (200 - 16 + 1) / 3.0
+    assert a[0] == int(avg / 2)
+    assert (a < 200).all() and (a >= 0).all()
+
+
+def test_sample_frames_train_mode_within_bounds():
+    s = SampleFrames(clip_len=8, frame_interval=2, num_clips=3,
+                     rng=np.random.default_rng(0))
+    idx = s(100, train=True)
+    assert idx.shape == (24,)
+    assert (idx >= 0).all() and (idx < 100).all()
+    # per-clip strides are frame_interval apart (mod wrap excluded here)
+    clip = idx[:8]
+    np.testing.assert_array_equal(np.diff(clip), np.full(7, 2))
+
+
+def test_sample_frames_short_video():
+    s = SampleFrames(clip_len=8, frame_interval=2, num_clips=2)
+    idx = s(10, train=False)  # shorter than ori_clip_len=16 -> wraps mod 10
+    assert idx.shape == (16,)
+    assert (idx < 10).all()
+
+
+def test_cropped_fragments_shape_and_band():
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 255, size=(8, 480, 640, 3)).astype(np.uint8)
+    out = get_spatial_cropped_fragments(v, aligned=8, rng=rng)
+    assert out.shape == (8, 224, 224, 3)
+    # content comes only from the centered 2/3-width band
+    crop_h = 640 // 3 * 2
+    top = 480 // 2 - crop_h // 2
+    band = v[:, top : top + crop_h]
+    # every output pixel value must exist in the band (cheap necessary check)
+    assert np.isin(out[0, :32, :32, 0], band[0, :, :, 0]).all()
+
+
+def test_cropped_fragments_small_video_upsamples():
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 255, size=(4, 120, 160, 3)).astype(np.uint8)
+    out = get_spatial_cropped_fragments(v, aligned=4, rng=rng)
+    assert out.shape == (4, 224, 224, 3)
+
+
+def test_swin_2d_tiny_per_frame():
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.nn.swin import swin_2d_tiny
+
+    m = swin_2d_tiny(use_checkpoint=False)
+    x = {
+        "technical": jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 2, 56, 56, 3)),
+            jnp.float32,
+        )
+    }
+    vs = m.init(jax.random.key(0), x, train=False)
+    y = m.apply(vs, x, train=False)
+    # patch 4 -> 14x14 tokens, 3 merges -> 2x2; temporal axis untouched
+    assert y.shape == (1, 2, 2, 2, 768)
