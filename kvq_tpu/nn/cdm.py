@@ -11,9 +11,10 @@ Counterparts (reference KSVQE_model.py):
   - :class:`DistFiLM`         == Dist_Transformation3 (:934-960): channel
     FiLM from global avg/std pools of the enhanced distortion field.
 
-(The reference also defines Semantic_Transformation4/6/8 and
-Dist_Transformation5/7 which no config uses — SURVEY.md §5.1.13; they are
-intentionally not rebuilt.)
+The reference's unused variants are also rebuilt for surface parity
+(SURVEY.md §5.1.13): :class:`SemanticFiLM4`/:class:`SemanticFiLM6`/
+:class:`SemanticFiLM8` (== Semantic_Transformation4/6/8) and
+:class:`DistFiLM5`/:class:`DistFiLM7` (== Dist_Transformation5/7).
 """
 
 from __future__ import annotations
@@ -133,3 +134,125 @@ class AdapterMLP(nn.Module):
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return nn.relu(x)
+
+
+def _avg_std_channel_pool(x, eps: float = 1e-10):
+    """Global per-channel mean + unbiased std over all non-channel axes of a
+    channels-last tensor collapsed to (N, S, C)."""
+    n = x.shape[1]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=1)
+    var = xf.var(axis=1) * (n / max(n - 1, 1))
+    return mean, jnp.sqrt(var + eps)
+
+
+class SemanticFiLM4(nn.Module):
+    """Channel FiLM from avg/std pools of the semantic field (reference
+    Semantic_Transformation4, KSVQE_model.py:837-867 — defined but unused
+    by any config, rebuilt for surface parity)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inp):
+        # x, inp: (N, H, W, C)
+        N, C = x.shape[0], x.shape[-1]
+        mean, std = _avg_std_channel_pool(x.reshape(N, -1, C))
+        gamma = jax.nn.sigmoid(
+            nn.Dense(C, dtype=self.dtype, name="get_gamma")(
+                std.astype(self.dtype)
+            )
+        )
+        beta = nn.Dense(C, dtype=self.dtype, name="get_beta")(
+            mean.astype(self.dtype)
+        )
+        return gamma[:, None, None, :] * inp + beta[:, None, None, :]
+
+
+class SemanticFiLM6(nn.Module):
+    """Spatial FiLM followed by channel FiLM (reference
+    Semantic_Transformation6, KSVQE_model.py:869-911, unused).  The
+    reference computes the channel gamma with ``get_beta(mean)`` — its
+    ``get_gamma`` layer is dead (a latent bug in dead code); replicated
+    faithfully so a weight import stays 1:1."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inp):
+        N, C = x.shape[0], x.shape[-1]
+        sgamma = jax.nn.sigmoid(
+            nn.Dense(1, dtype=self.dtype, name="conv_gama")(x)
+        )
+        sbeta = nn.Dense(1, dtype=self.dtype, name="conv_beta")(x)
+        inp1 = sgamma * inp + sbeta
+        mean, std = _avg_std_channel_pool(x.reshape(N, -1, C))
+        get_beta = nn.Dense(C, dtype=self.dtype, name="get_beta")
+        cgamma = jax.nn.sigmoid(get_beta(mean.astype(self.dtype)))
+        cbeta = get_beta(std.astype(self.dtype))
+        return cgamma[:, None, None, :] * inp1 + cbeta[:, None, None, :]
+
+
+class SemanticFiLM8(nn.Module):
+    """3x3 conv + LeakyReLU feature, then spatial FiLM (reference
+    Semantic_Transformation8, KSVQE_model.py:913-931, unused)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inp):
+        C = x.shape[-1]
+        out = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        out = nn.leaky_relu(out, negative_slope=0.2)
+        gamma = jax.nn.sigmoid(
+            nn.Dense(1, dtype=self.dtype, name="conv_gama")(out)
+        )
+        beta = nn.Dense(1, dtype=self.dtype, name="conv_beta")(out)
+        return gamma * inp + beta
+
+
+class DistFiLM5(nn.Module):
+    """Token-wise (spatial) FiLM from 3x3x3 convs over the distortion field
+    (reference Dist_Transformation5, KSVQE_model.py:962-987, unused)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inp):
+        # x: (B, T, H, W, C); inp: (B, T*H*W, C)
+        B = x.shape[0]
+        gamma = jax.nn.sigmoid(
+            nn.Conv(1, (3, 3, 3), padding=1, dtype=self.dtype,
+                    name="conv_gama")(x)
+        ).reshape(B, -1, 1)
+        beta = nn.Conv(1, (3, 3, 3), padding=1, dtype=self.dtype,
+                       name="conv_beta")(x).reshape(B, -1, 1)
+        return gamma * inp + beta
+
+
+class DistFiLM7(nn.Module):
+    """Token-wise FiLM then channel FiLM (reference Dist_Transformation7,
+    KSVQE_model.py:989-1021, unused)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inp):
+        B, C = x.shape[0], x.shape[-1]
+        sgamma = jax.nn.sigmoid(
+            nn.Conv(1, (3, 3, 3), padding=1, dtype=self.dtype,
+                    name="conv_gama")(x)
+        ).reshape(B, -1, 1)
+        sbeta = nn.Conv(1, (3, 3, 3), padding=1, dtype=self.dtype,
+                        name="conv_beta")(x).reshape(B, -1, 1)
+        inp1 = sgamma * inp + sbeta
+        mean, std = _avg_std_channel_pool(x.reshape(B, -1, C))
+        gamma = jax.nn.sigmoid(
+            nn.Dense(C, dtype=self.dtype, name="get_gamma")(
+                std.astype(self.dtype)
+            )
+        )
+        beta = nn.Dense(C, dtype=self.dtype, name="get_beta")(
+            mean.astype(self.dtype)
+        )
+        return gamma[:, None, :] * inp1 + beta[:, None, :]

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 
+import flax.linen as _fnn
 import jax
 import jax.numpy as jnp
 
@@ -154,3 +155,27 @@ class RegionSelector:
         return extract_region_weighted(
             fragment, frame_weights, self.anchor, self.k_side
         )
+
+
+class PredictorLG(_fnn.Module):
+    """Score-prediction MLP of the legacy PatchNet family (reference
+    patchnet.py:9-33, unused by KSVQE — rebuilt for surface parity):
+    LN -> Linear -> GELU, split channels into a local half and a
+    globally-averaged half, then Linear -> GELU to one score per token."""
+
+    dtype: object = jnp.float32
+
+    @_fnn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        B, N, C = x.shape
+        y = _fnn.LayerNorm(dtype=dt, name="in_norm")(x)
+        y = _fnn.Dense(C, dtype=dt, name="in_fc")(y)
+        y = _fnn.gelu(y)
+        local = y[:, :, : C // 2]
+        glob = jnp.broadcast_to(
+            y[:, :, C // 2 :].mean(axis=1, keepdims=True), local.shape
+        )
+        y = jnp.concatenate([local, glob], axis=-1)
+        y = _fnn.Dense(1, dtype=dt, name="out_fc")(y)
+        return _fnn.gelu(y)

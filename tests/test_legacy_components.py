@@ -86,3 +86,47 @@ def test_swin_2d_tiny_per_frame():
     y = m.apply(vs, x, train=False)
     # patch 4 -> 14x14 tokens, 3 merges -> 2x2; temporal axis untouched
     assert y.shape == (1, 2, 2, 2, 768)
+
+
+def test_unused_film_variants_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.nn import cdm
+
+    r = np.random.default_rng(0)
+    x4 = jnp.asarray(r.normal(size=(2, 4, 4, 8)), jnp.float32)
+    x5 = jnp.asarray(r.normal(size=(2, 2, 4, 4, 8)), jnp.float32)
+    tok5 = jnp.asarray(r.normal(size=(2, 32, 8)), jnp.float32)
+    for cls, args, want in [
+        (cdm.SemanticFiLM4, (x4, x4), (2, 4, 4, 8)),
+        (cdm.SemanticFiLM6, (x4, x4), (2, 4, 4, 8)),
+        (cdm.SemanticFiLM8, (x4, x4), (2, 4, 4, 8)),
+        (cdm.DistFiLM5, (x5, tok5), (2, 32, 8)),
+        (cdm.DistFiLM7, (x5, tok5), (2, 32, 8)),
+    ]:
+        m = cls()
+        vs = m.init(jax.random.key(0), *args)
+        y = m.apply(vs, *args)
+        assert y.shape == want, cls.__name__
+        assert np.isfinite(np.asarray(y)).all()
+    # SemanticFiLM6 replicates the reference's dead-code quirk: one shared
+    # get_beta layer, no get_gamma params
+    m6 = cdm.SemanticFiLM6()
+    p6 = m6.init(jax.random.key(0), x4, x4)["params"]
+    assert "get_beta" in p6 and "get_gamma" not in p6
+
+
+def test_predictor_lg():
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.nn.regionnet import PredictorLG
+
+    m = PredictorLG()
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 10, 16)), jnp.float32
+    )
+    vs = m.init(jax.random.key(0), x)
+    y = m.apply(vs, x)
+    assert y.shape == (2, 10, 1)
