@@ -87,63 +87,90 @@ def _segment_ids(g, window, shift, dim):
     return seg
 
 
-def _make_kernel(geo: WindowGeometry, scale: float):
+def _make_kernel(geo: WindowGeometry, scale: float, group: int):
+    """Kernel processing ``group`` consecutive windows (one head) per grid
+    step.  Batching windows amortizes the per-step dispatch/DMA overhead,
+    which dominates at small head dims (hd=32 -> ~40 MFLOP per window-head,
+    a few microseconds of MXU time vs ~4 us of step overhead)."""
     Dp, Hp, Wp = geo.dims
     wd, wh, ww = geo.window
     sd, sh, sw = geo.shift
     fd, fh, fw = geo.fragments
     Dw, Hw, Ww = geo.wgrid
+    P = Hw * Ww
     shifted = any(geo.shift)
     use_frag = geo.use_frag
 
     def kernel(q_ref, k_ref, v_ref, relb_ref, fragb_ref, out_ref):
-        pat = pl.program_id(0)  # window position in (Hw, Ww)
-        bd = pl.program_id(2)   # (batch, d-window) flattened
-        h_idx = pat // Ww
-        w_idx = pat % Ww
-        d_idx = jax.lax.rem(bd, Dw)
+        chunk = pl.program_id(1)  # window-chunk index (fastest grid dim)
 
-        gd, gh, gw = _coord_vectors(geo, d_idx, h_idx, w_idx)
+        def body(g, _):
+            w = chunk * group + g  # flattened (b, d, pat) window id
+            pat = jax.lax.rem(w, P)
+            d_idx = jax.lax.rem(w // P, Dw)
+            h_idx = pat // Ww
+            w_idx = jax.lax.rem(pat, Ww)
 
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
+            gd, gh, gw = _coord_vectors(geo, d_idx, h_idx, w_idx)
 
-        if use_frag:
-            fdi = _fragment_ids(gd, sd, Dp, fd)
-            fhi = _fragment_ids(gh, sh, Hp, fh)
-            fwi = _fragment_ids(gw, sw, Wp, fw)
-            gate = (
-                jnp.abs(fdi - fdi.T) + jnp.abs(fhi - fhi.T) + jnp.abs(fwi - fwi.T)
-            ).astype(jnp.float32)
-            bias = relb_ref[0] * gate + fragb_ref[0] * (1.0 - gate)
-        else:
-            bias = relb_ref[0]
-        s = s + bias
+            q = q_ref[g, 0]
+            k = k_ref[g, 0]
+            v = v_ref[g, 0]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
 
-        if shifted:
-            segd = _segment_ids(gd, wd, sd, Dp)
-            segh = _segment_ids(gh, wh, sh, Hp)
-            segw = _segment_ids(gw, ww, sw, Wp)
-            seg = segd * 9 + segh * 3 + segw
-            s = jnp.where(seg == seg.T, s, s - 100.0)
+            if use_frag:
+                fdi = _fragment_ids(gd, sd, Dp, fd)
+                fhi = _fragment_ids(gh, sh, Hp, fh)
+                fwi = _fragment_ids(gw, sw, Wp, fw)
+                gate = (
+                    jnp.abs(fdi - fdi.T)
+                    + jnp.abs(fhi - fhi.T)
+                    + jnp.abs(fwi - fwi.T)
+                ).astype(jnp.float32)
+                bias = relb_ref[0] * gate + fragb_ref[0] * (1.0 - gate)
+            else:
+                bias = relb_ref[0]
+            s = s + bias
 
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+            if shifted:
+                segd = _segment_ids(gd, wd, sd, Dp)
+                segh = _segment_ids(gh, wh, sh, Hp)
+                segw = _segment_ids(gw, ww, sw, Wp)
+                seg = segd * 9 + segh * 3 + segw
+                s = jnp.where(seg == seg.T, s, s - 100.0)
+
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[g, 0] = out.astype(out_ref.dtype)
+            return 0
+
+        # fori_loop, not an unrolled python loop: the compiler then reuses
+        # one s/p scratch across windows instead of live-ranging `group`
+        # copies (which OOMs scoped VMEM at group>=16).
+        jax.lax.fori_loop(0, group, body, 0)
 
     return kernel
+
+
+def _pick_group(bw: int, n: int, hd: int, itemsize: int) -> int:
+    """Largest window-group dividing ``bw`` whose qkv+out tiles fit a
+    conservative VMEM budget (bias planes take 2*N*N*4 on top)."""
+    budget = 4 * 1024 * 1024
+    per_window = 4 * n * hd * itemsize  # q, k, v, out tiles
+    for g in (8, 4, 2, 1):
+        if bw % g == 0 and g * per_window <= budget:
+            return g
+    return 1
 
 
 def flash_window_attention(
@@ -157,36 +184,36 @@ def flash_window_attention(
     interpret: bool = False,
 ):
     """q/k/v: (B*nW, h, N, hd); rel_bias/frag_bias: (h, N, N) float32
-    (pre-gathered from the tables); returns (B*nW, h, N, hd)."""
+    (pre-gathered from the tables); returns (B*nW, h, N, hd).
+
+    Grid is (heads, window-chunks) with chunks fastest, so the per-head bias
+    planes stay VMEM-resident across a whole sweep of windows.
+    """
     BW, h, N, hd = q.shape
     assert N == geo.n_tokens, (N, geo.n_tokens)
-    Dw, Hw, Ww = geo.wgrid
-    P = Hw * Ww
-    BD = geo.batch * Dw
     if scale is None:
         scale = hd ** -0.5
 
     if frag_bias is None:
         frag_bias = jnp.zeros_like(rel_bias)
 
-    # window index for (pat, h, bd): b = bd // Dw, d = bd % Dw
-    def qkv_map(pat, hh, bd):
-        b = bd // Dw
-        d = jax.lax.rem(bd, Dw)
-        return (b * (Dw * P) + d * P + pat, hh, 0, 0)
+    G = _pick_group(BW, N, hd, q.dtype.itemsize)
 
-    def bias_map(pat, hh, bd):
+    def qkv_map(hh, chunk):
+        return (chunk, hh, 0, 0)
+
+    def bias_map(hh, chunk):
         return (hh, 0, 0)
 
-    kernel = _make_kernel(geo, float(scale))
-    grid = (P, h, BD)  # bd fastest => bias planes stay resident per (pat, h)
-    spec_qkv = pl.BlockSpec((1, 1, N, hd), qkv_map, memory_space=pltpu.VMEM)
+    kernel = _make_kernel(geo, float(scale), G)
+    grid = (h, BW // G)  # chunk fastest => bias resident per head
+    spec_qkv = pl.BlockSpec((G, 1, N, hd), qkv_map, memory_space=pltpu.VMEM)
     spec_bias = pl.BlockSpec((1, N, N), bias_map, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec_qkv, spec_qkv, spec_qkv, spec_bias, spec_bias],
-        out_specs=pl.BlockSpec((1, 1, N, hd), qkv_map, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((G, 1, N, hd), qkv_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * BW * h * N * N * hd,

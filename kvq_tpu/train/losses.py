@@ -53,24 +53,31 @@ def distortion_contrastive_supervised(
     unnormalized mask product).
     """
     b, t, g, c = distortion_feature.shape
-    z = distortion_feature.reshape(b * t * g, c).astype(jnp.float32)
+    tg = t * g
+    n = b * tg
+    z = distortion_feature.reshape(n, c).astype(jnp.float32)
     z = z / (jnp.linalg.norm(z, axis=1, keepdims=True) + 1e-12)
     sim = (z @ z.T) / 0.1
 
-    same = (dis_label[:, None] == dis_label[None, :]).astype(jnp.float32)  # (b,b)
-    # rows repeated t*g times: labels (N, b) with N = b*t*g
-    labels = jnp.repeat(same, t * g, axis=0)
-    positive = labels @ labels.T  # count-valued (N, N)
-    n = b * t * g
-    eye = jnp.eye(n, dtype=jnp.float32)
-    positive = positive * (1.0 - eye)
-    zero_diag = 1.0 - eye
+    # The reference materializes a count-valued (N, N) positive mask
+    # (labels @ labels.T with rows of `same` repeated t*g times) plus an
+    # (N, N) zero-diag mask.  positive[i, j] = P[b_i, b_j] for all j in
+    # batch-block b_j, so every (N, N) contraction against it collapses to
+    # per-batch-block row sums — identical math, O(N*b) temporaries instead
+    # of several O(N^2) ones (N = b*t*g = 9408 at eval shapes).
+    same = (dis_label[:, None] == dis_label[None, :]).astype(jnp.float32)
+    P = same @ same.T  # (b, b) count-valued
+    # take sim's own diagonal (NOT a recomputed z.z): exp(diag) ~ e^10 is
+    # subtracted from the row sum, so the two must cancel exactly
+    diag_sim = jnp.diagonal(sim)
 
-    positive_sum = jnp.sum(positive, axis=1)
-    denominator = jnp.sum(jnp.exp(sim) * zero_diag, axis=1)
-    return jnp.mean(
-        jnp.log(denominator) - jnp.sum(sim * positive, axis=1) / positive_sum
-    )
+    denominator = jnp.sum(jnp.exp(sim), axis=1) - jnp.exp(diag_sim)
+    row_block = sim.reshape(n, b, tg).sum(axis=2)  # (N, b)
+    P_rows = jnp.repeat(P, tg, axis=0)  # (N, b)
+    P_diag = jnp.repeat(jnp.diagonal(P), tg)  # (N,)
+    numerator = jnp.sum(P_rows * row_block, axis=1) - P_diag * diag_sim
+    positive_sum = jnp.sum(P_rows, axis=1) * tg - P_diag
+    return jnp.mean(jnp.log(denominator) - numerator / positive_sum)
 
 
 def total_loss(

@@ -15,19 +15,24 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timed_loop(fn, args, n1=1, n2=5, reps=3):
-    """Device seconds per call via two-loop-length differencing."""
+def timed_loop(fn, variables, args, n1=1, n2=5, reps=3):
+    """Device seconds per call via two-loop-length differencing.
+
+    ``variables`` MUST be an explicit argument (not a closure) — closed-over
+    device arrays are serialized into the program as constants, which blows
+    the remote-compile request size (HTTP 413 through the axon tunnel).
+    """
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def loop(a, n):
+    @functools.partial(jax.jit, static_argnums=2)
+    def loop(vs, a, n):
         acc = jnp.float32(0)
         x = a
         for _ in range(n):
-            out = fn(x)
+            out = fn(vs, x)
             s = jnp.sum(
                 jax.tree_util.tree_reduce(
                     lambda c, l: c + jnp.sum(l.astype(jnp.float32)),
@@ -41,14 +46,14 @@ def timed_loop(fn, args, n1=1, n2=5, reps=3):
             )
         return acc
 
-    float(loop(args, n1))
-    float(loop(args, n2))
+    float(loop(variables, args, n1))
+    float(loop(variables, args, n2))
 
     def t(n):
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            float(loop(args, n))
+            float(loop(variables, args, n))
             best = min(best, time.time() - t0)
         return best
 
@@ -96,7 +101,7 @@ def main():
 
     # ---- full model
     full_s = timed_loop(
-        lambda b: model.apply(variables, b, train=False)[0], batch
+        lambda vs, b: model.apply(vs, b, train=False)[0], variables, batch
     )
     print(f"full KSVQE fwd: {full_s * 1e3:8.1f} ms  "
           f"({B / full_s:6.2f} videos/s)")
@@ -115,7 +120,7 @@ def main():
     kf = jnp.asarray(rng.normal(size=(B * 4, 112, 112, 3)), dt)
     cvs = jax.jit(lambda: clip.init(jax.random.key(0), kf))()
     jax.block_until_ready(cvs)
-    clip_s = timed_loop(lambda x: clip.apply(cvs, x), kf)
+    clip_s = timed_loop(lambda vs, x: clip.apply(vs, x), cvs, kf)
     print(f"CLIP tool (4 keyframes): {clip_s * 1e3:8.1f} ms "
           f"({100 * clip_s / full_s:5.1f}%)")
 
@@ -124,9 +129,9 @@ def main():
 
     ctq = CONTRIQUE(layers=cfg.contrique_layers, dtype=dt)
     sel = jnp.asarray(rng.normal(size=(B, T // 2, 224, 224, 3)), dt)
-    tvs = jax.jit(lambda: ctq.init(jax.random.key(0), sel, train=False))()
+    tvs = jax.jit(lambda: ctq.init(jax.random.key(0), sel))()
     jax.block_until_ready(tvs)
-    ctq_s = timed_loop(lambda x: ctq.apply(tvs, x, train=False), sel)
+    ctq_s = timed_loop(lambda vs, x: ctq.apply(vs, x), tvs, sel)
     print(f"CONTRIQUE (48f x 49 patches): {ctq_s * 1e3:8.1f} ms "
           f"({100 * ctq_s / full_s:5.1f}%)")
 
@@ -139,7 +144,7 @@ def main():
         rng.normal(size=(B, T, 224, 224, 3)), dt)}
     svs = jax.jit(lambda: swin.init(jax.random.key(0), xsel, train=False))()
     jax.block_until_ready(svs)
-    swin_s = timed_loop(lambda x: swin.apply(svs, x, train=False), xsel)
+    swin_s = timed_loop(lambda vs, x: swin.apply(vs, x, train=False), svs, xsel)
     print(f"Swin trunk (224^2 x {T}f): {swin_s * 1e3:8.1f} ms "
           f"({100 * swin_s / full_s:5.1f}%)")
 
