@@ -204,8 +204,12 @@ class KSVQE(nn.Module):
         L = cls_attn.shape[-1]
         cls_attn = cls_attn.reshape(B, n_key, L)
         pat_tokens = pat_tokens.reshape(B, n_key, L, -1)
-        gid = jnp.asarray(group_id, jnp.int32)
-        full_patch = pat_tokens[:, gid]  # (B, T, L, 768)
+        # CDM consumes only the temporally-halved frames (x has T/2 after
+        # patch embed) — gather just those instead of a full (B,T,L,768)
+        # broadcast then [::2] (reference extend_fullcls_attn semantics,
+        # KSVQE_model.py:1378-1386, restricted to the used subset).
+        gid_half = jnp.asarray(group_id[::2], jnp.int32)
+        half_patch = pat_tokens[:, gid_half]  # (B, T/2, L, 768)
 
         # --- QRS region selection
         qrs_key = self.make_rng("qrs") if train else None
@@ -232,8 +236,7 @@ class KSVQE(nn.Module):
             n, t, h, w, c = x.shape
 
             # semantic modulation
-            pt = full_patch[:, ::2]  # (B, t, L, 768)
-            pt = self.semantic_adapter[m](pt).reshape(n * t, L, c)
+            pt = self.semantic_adapter[m](half_patch).reshape(n * t, L, c)
             xs = x.reshape(n * t, h * w, c)
             enh, _ = self.semantic_cross[m](xs, pt)
             fors = self.semantic_mod[m](

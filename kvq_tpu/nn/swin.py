@@ -253,11 +253,6 @@ class WindowAttention3D(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, nW, N, 3, h, hd)
-        q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,h,hd)
-        q = jnp.swapaxes(q, -3, -2)  # (B,nW,h,N,hd)
-        k = jnp.swapaxes(k, -3, -2)
-        v = jnp.swapaxes(v, -3, -2)
 
         rpi = relative_position_index(self.table_window)[:N, :N]  # quirk: slice
         rel_table = self.param(
@@ -278,6 +273,11 @@ class WindowAttention3D(nn.Module):
             frag_planes = frag_table[rpi.reshape(-1)].reshape(N, N, h)
             frag_planes = frag_planes.transpose(2, 0, 1)
 
+        qkv = qkv.reshape(B, nW, N, 3, h, hd)
+        q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,h,hd)
+        q = jnp.swapaxes(q, -3, -2)  # (B,nW,h,N,hd)
+        k = jnp.swapaxes(k, -3, -2)
+        v = jnp.swapaxes(v, -3, -2)
         if geometry is not None and not train:
             from ..ops.window_attention import flash_window_attention
 

@@ -224,3 +224,4 @@ def flash_window_attention(
         interpret=interpret,
     )(q, k, v, rel_bias, frag_bias)
     return out
+
