@@ -40,6 +40,16 @@ from .layers import Mlp, DropPath, PatchEmbed3D, PatchMerging, trunc_normal_init
 # static (host/numpy) geometry helpers
 
 
+def _pallas_backend_ok() -> bool:
+    """Mosaic kernels need a TPU backend; tests force the CPU interpreter
+    by monkeypatching the kernels AND setting ALLOW_CPU_PALLAS."""
+    from ..ops import window_attention as WA
+
+    return jax.default_backend() == "tpu" or getattr(
+        WA, "ALLOW_CPU_PALLAS", False
+    )
+
+
 def get_window_size(x_size, window_size, shift_size=None):
     """Clamp window (and zero shift) on dims where input <= window
     (reference swin_backbone.py:145-158)."""
@@ -273,19 +283,17 @@ class WindowAttention3D(nn.Module):
             frag_planes = frag_table[rpi.reshape(-1)].reshape(N, N, h)
             frag_planes = frag_planes.transpose(2, 0, 1)
 
-        qkv = qkv.reshape(B, nW, N, 3, h, hd)
-        q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,h,hd)
-        q = jnp.swapaxes(q, -3, -2)  # (B,nW,h,N,hd)
-        k = jnp.swapaxes(k, -3, -2)
-        v = jnp.swapaxes(v, -3, -2)
         if geometry is not None and not train:
-            from ..ops.window_attention import flash_window_attention
+            from ..ops.window_attention import flash_window_attention_packed
 
-            qf = q.reshape(B * nW, h, N, hd)
-            kf = k.reshape(B * nW, h, N, hd)
-            vf = v.reshape(B * nW, h, N, hd)
-            out = flash_window_attention(
-                qf, kf, vf,
+            # single transpose to (BW, 3h, N, hd); q/k/v + head selection
+            # happen via BlockSpec index maps inside the kernel
+            packed = jnp.swapaxes(
+                qkv.reshape(B * nW, N, 3 * h, hd), 1, 2
+            )
+            out = flash_window_attention_packed(
+                packed,
+                h,
                 rel_bias.astype(jnp.float32),
                 None if frag_planes is None else frag_planes.astype(jnp.float32),
                 geometry,
@@ -293,6 +301,11 @@ class WindowAttention3D(nn.Module):
             )
             out = out.reshape(B, nW, h, N, hd)
         else:
+            qkv = qkv.reshape(B, nW, N, 3, h, hd)
+            q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,h,hd)
+            q = jnp.swapaxes(q, -3, -2)  # (B,nW,h,N,hd)
+            k = jnp.swapaxes(k, -3, -2)
+            v = jnp.swapaxes(v, -3, -2)
             attn = jnp.einsum(
                 "bwhnd,bwhmd->bwhnm", q * scale, k,
                 preferred_element_type=jnp.float32,
@@ -352,12 +365,93 @@ class SwinBlock3D(nn.Module):
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _fused_block(self, x, window, shift):
+        """Whole-block Pallas path (eval): one HBM round trip for the token
+        tensor.  Only taken when the spatial dims tile the window exactly
+        (the XLA path zero-pads AFTER norm1, which the fused kernel cannot
+        replicate) and the fp32 bias planes fit VMEM."""
+        from ..ops.window_attention import WindowGeometry, fused_swin_block
+
+        B, D, H, W, C = x.shape
+        h = self.num_heads
+        N = window[0] * window[1] * window[2]
+        p = self.variables["params"]
+        ap = p["attn"]
+
+        rpi = relative_position_index(self.window_size)[:N, :N]
+        rel = jnp.asarray(ap["relative_position_bias_table"], jnp.float32)
+        rel_bias = rel[rpi.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+        frag_bias = None
+        if self.frag_bias:
+            ft = jnp.asarray(ap["fragment_position_bias_table"], jnp.float32)
+            frag_bias = ft[rpi.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+
+        dt = self.dtype
+        params = {
+            "norm1_scale": p["norm1"]["scale"],
+            "norm1_bias": p["norm1"]["bias"],
+            "qkv_w": ap["qkv"]["kernel"].astype(dt),
+            "qkv_b": (
+                ap["qkv"]["bias"]
+                if self.qkv_bias
+                else jnp.zeros((3 * C,), jnp.float32)
+            ),
+            "proj_w": ap["proj"]["kernel"].astype(dt),
+            "proj_b": ap["proj"]["bias"],
+            "norm2_scale": p["norm2"]["scale"],
+            "norm2_bias": p["norm2"]["bias"],
+            "fc1_w": p["mlp"]["fc1"]["kernel"].astype(dt),
+            "fc1_b": p["mlp"]["fc1"]["bias"],
+            "fc2_w": p["mlp"]["fc2"]["kernel"].astype(dt),
+            "fc2_b": p["mlp"]["fc2"]["bias"],
+        }
+        geometry = WindowGeometry(
+            batch=B,
+            dims=(D, H, W),
+            window=window,
+            shift=shift,
+            fragments=(1, self.fragments_hw, self.fragments_hw),
+            num_heads=h,
+            head_dim=C // h,
+            use_frag=self.frag_bias,
+        )
+        y = x.astype(dt)
+        if any(shift):
+            y = jnp.roll(y, shift=(-shift[0], -shift[1], -shift[2]),
+                         axis=(1, 2, 3))
+        y = window_partition(y, window)  # (B, nW, N, C)
+        nW = y.shape[1]
+        out = fused_swin_block(
+            y.reshape(B * nW, N, C), params, rel_bias, frag_bias, geometry,
+            scale=(C // h) ** -0.5,
+        )
+        out = window_reverse(out.reshape(B, nW, N, C), window, B, D, H, W)
+        if any(shift):
+            out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
+        return out
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         # `train` is positional (not kw-only) so nn.remat can mark it static.
         B, D, H, W, C = x.shape
         cfg_shift = tuple(w // 2 for w in self.window_size) if self.shift else (0, 0, 0)
         window, shift = get_window_size((D, H, W), self.window_size, cfg_shift)
+
+        N = window[0] * window[1] * window[2]
+        no_pad = D % window[0] == 0 and H % window[1] == 0 and W % window[2] == 0
+        bias_bytes = (1 + int(self.frag_bias)) * self.num_heads * N * N * 4
+        if (
+            self.use_pallas
+            and not train
+            and not self.jump_attention
+            and no_pad
+            and bias_bytes <= 10 * 1024 * 1024
+            and not self.is_initializing()
+            and "params" in self.variables
+            and "norm1" in self.variables["params"]
+            and _pallas_backend_ok()
+        ):
+            return self._fused_block(x, window, shift)
 
         if not self.jump_attention:
             y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)

@@ -225,3 +225,304 @@ def flash_window_attention(
     )(q, k, v, rel_bias, frag_bias)
     return out
 
+
+
+def flash_window_attention_packed(
+    qkv,
+    num_heads: int,
+    rel_bias,
+    frag_bias,
+    geo: WindowGeometry,
+    scale: float | None = None,
+    interpret: bool = False,
+):
+    """Packed-layout variant: qkv as (B*nW, 3*h, N, hd) — produced from the
+    qkv projection by a single transpose (vs three slice+transpose chains
+    for separate q/k/v) — q/k/v and the head are selected by BlockSpec
+    index maps.  Returns (B*nW, h, N, hd)."""
+    BW, th, N, hd = qkv.shape
+    h = num_heads
+    assert th == 3 * h
+    assert N == geo.n_tokens, (N, geo.n_tokens)
+    if scale is None:
+        scale = hd ** -0.5
+    if frag_bias is None:
+        frag_bias = jnp.zeros_like(rel_bias)
+
+    G = _pick_group(BW, N, hd, qkv.dtype.itemsize)
+
+    def in_map(i):
+        def m(hh, chunk):
+            return (chunk, i * h + hh, 0, 0)
+
+        return m
+
+    def out_map(hh, chunk):
+        return (chunk, hh, 0, 0)
+
+    def bias_map(hh, chunk):
+        return (hh, 0, 0)
+
+    kernel = _make_kernel(geo, float(scale), G)
+    grid = (h, BW // G)
+    specs = [
+        pl.BlockSpec((G, 1, N, hd), in_map(i), memory_space=pltpu.VMEM)
+        for i in range(3)
+    ]
+    spec_bias = pl.BlockSpec((1, N, N), bias_map, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=specs + [spec_bias, spec_bias],
+        out_specs=pl.BlockSpec((G, 1, N, hd), out_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BW, h, N, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BW * h * N * N * hd,
+            bytes_accessed=BW * th * N * hd * qkv.dtype.itemsize
+            + 2 * h * N * N * 4,
+            transcendentals=BW * h * N * N,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_bias, frag_bias)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fully fused Swin block kernel (eval path, small-head stages)
+
+
+def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
+                       C: int, hidden: int, eps: float = 1e-6):
+    """One grid step = `group` windows through the ENTIRE Swin block:
+    LN1 -> qkv -> per-head attention (bias mix + seam mask in-kernel) ->
+    proj -> +residual -> LN2 -> MLP(GELU) -> +residual.
+
+    All weights are VMEM-resident; the (BW, N, C) token tensor makes one
+    HBM round trip per block instead of ~10 (LN/qkv/transpose/attn/proj/
+    MLP materializations) — stage 0/1 of Swin-T are bandwidth-bound, so
+    this is where the eval time lives."""
+    Dp, Hp, Wp = geo.dims
+    wd, wh, ww = geo.window
+    sd, sh, sw = geo.shift
+    fd, fh, fw = geo.fragments
+    Dw, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    shifted = any(geo.shift)
+    use_frag = geo.use_frag
+    h = geo.num_heads
+    hd = geo.head_dim
+
+    def kernel(x_ref, n1s_ref, n1b_ref, qkvw_ref, qkvb_ref,
+               projw_ref, projb_ref, n2s_ref, n2b_ref,
+               fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
+               relb_ref, fragb_ref, out_ref):
+        chunk = pl.program_id(0)
+
+        def ln(xx, s_ref, b_ref):
+            # flax LayerNorm's exact formulation: var = mean(x^2) - mean(x)^2
+            xf = xx.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            var = jnp.maximum(0.0, mu2 - mu * mu)
+            y = (xf - mu) * jax.lax.rsqrt(var + eps)
+            return y * s_ref[0].astype(jnp.float32) + b_ref[0].astype(
+                jnp.float32
+            )
+
+        def body(g, _):
+            w = chunk * group + g
+            pat = jax.lax.rem(w, P)
+            d_idx = jax.lax.rem(w // P, Dw)
+            h_idx = pat // Ww
+            w_idx = jax.lax.rem(pat, Ww)
+            gd, gh, gw = _coord_vectors(geo, d_idx, h_idx, w_idx)
+
+            if use_frag:
+                fdi = _fragment_ids(gd, sd, Dp, fd)
+                fhi = _fragment_ids(gh, sh, Hp, fh)
+                fwi = _fragment_ids(gw, sw, Wp, fw)
+                gate = (
+                    jnp.abs(fdi - fdi.T)
+                    + jnp.abs(fhi - fhi.T)
+                    + jnp.abs(fwi - fwi.T)
+                ).astype(jnp.float32)
+            if shifted:
+                segd = _segment_ids(gd, wd, sd, Dp)
+                segh = _segment_ids(gh, wh, sh, Hp)
+                segw = _segment_ids(gw, ww, sw, Wp)
+                seg = segd * 9 + segh * 3 + segw
+                seam = seg == seg.T
+
+            xw = x_ref[g]  # (N, C)
+            y = ln(xw, n1s_ref, n1b_ref).astype(xw.dtype)
+            qkv = (
+                jax.lax.dot_general(
+                    y, qkvw_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + qkvb_ref[0].astype(jnp.float32)
+            ).astype(xw.dtype)  # (N, 3C)
+
+            outs = []
+            for hh in range(h):
+                q = qkv[:, hh * hd : (hh + 1) * hd]
+                k = qkv[:, C + hh * hd : C + (hh + 1) * hd]
+                v = qkv[:, 2 * C + hh * hd : 2 * C + (hh + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if use_frag:
+                    bias = relb_ref[hh] * gate + fragb_ref[hh] * (1.0 - gate)
+                else:
+                    bias = relb_ref[hh]
+                s = s + bias
+                if shifted:
+                    s = jnp.where(seam, s, s - 100.0)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(
+                    jax.lax.dot_general(
+                        p.astype(v.dtype), v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(xw.dtype)
+                )
+            att = jnp.concatenate(outs, axis=-1)  # (N, C)
+            att = (
+                jax.lax.dot_general(
+                    att, projw_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + projb_ref[0].astype(jnp.float32)
+            ).astype(xw.dtype)
+            x1 = xw + att
+
+            y2 = ln(x1, n2s_ref, n2b_ref).astype(xw.dtype)
+            hmid = (
+                jax.lax.dot_general(
+                    y2, fc1w_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + fc1b_ref[0].astype(jnp.float32)
+            )
+            # exact-GELU via polynomial erf (Mosaic lowers neither erf nor
+            # erfc); Abramowitz-Stegun 7.1.26, max abs error 1.5e-7 — far
+            # below the bf16 resolution of the surrounding network
+            z = hmid * (2.0 ** -0.5)
+            sgn = jnp.sign(z)
+            az = jnp.abs(z)
+            t = 1.0 / (1.0 + 0.3275911 * az)
+            poly = (
+                ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+                 - 0.284496736) * t + 0.254829592
+            ) * t
+            erf_z = sgn * (1.0 - poly * jnp.exp(-az * az))
+            hmid = (0.5 * hmid * (1.0 + erf_z)).astype(xw.dtype)
+            mlp = (
+                jax.lax.dot_general(
+                    hmid, fc2w_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + fc2b_ref[0].astype(jnp.float32)
+            ).astype(xw.dtype)
+            out_ref[g] = x1 + mlp
+            return 0
+
+        jax.lax.fori_loop(0, group, body, 0)
+
+    return kernel
+
+
+def fused_swin_block(
+    x,
+    params: dict,
+    rel_bias,
+    frag_bias,
+    geo: WindowGeometry,
+    scale: float | None = None,
+    interpret: bool = False,
+):
+    """x: (BW, N, C) partitioned+rolled tokens; params holds the block's
+    weights (norm1/qkv/proj/norm2/fc1/fc2 with flax names); rel/frag bias
+    (h, N, N) fp32.  Returns (BW, N, C) — the full block output.
+
+    VMEM-feasible for h <= 6 with fragment bias (bias planes fp32-resident);
+    callers fall back to the unfused path otherwise."""
+    BW, N, C = x.shape
+    h, hd = geo.num_heads, geo.head_dim
+    assert h * hd == C and N == geo.n_tokens
+    if scale is None:
+        scale = hd ** -0.5
+    if frag_bias is None:
+        frag_bias = jnp.zeros_like(rel_bias)
+
+    hidden = params["fc1_w"].shape[1]
+    # group: qkv (N,3C) + hidden (N,4C) + s/p (N,N) fp32 are per-window
+    # scratch; x tiles are G*N*C*2.  Budget conservatively.
+    budget = 4 * 1024 * 1024
+    per_window = 2 * N * C * x.dtype.itemsize
+    G = 1
+    for g in (8, 4, 2, 1):
+        if BW % g == 0 and g * per_window <= budget:
+            G = g
+            break
+
+    kernel = _make_block_kernel(geo, float(scale), G, C, hidden)
+    grid = (BW // G,)
+
+    def tile_map(chunk):
+        return (chunk, 0, 0)
+
+    def const_map(chunk):
+        return (0, 0)
+
+    def full_map(chunk):
+        return (0, 0, 0)
+
+    def vec(p):  # (C,) -> (1, C) so Mosaic gets a 2-D block
+        return p.reshape(1, -1)
+
+    spec_x = pl.BlockSpec((G, N, C), tile_map, memory_space=pltpu.VMEM)
+
+    def mat_spec(a):
+        return pl.BlockSpec(a.shape, const_map, memory_space=pltpu.VMEM)
+
+    def bias_spec(a):
+        return pl.BlockSpec(a.shape, full_map, memory_space=pltpu.VMEM)
+
+    args = [
+        x,
+        vec(params["norm1_scale"]), vec(params["norm1_bias"]),
+        params["qkv_w"], vec(params["qkv_b"]),
+        params["proj_w"], vec(params["proj_b"]),
+        vec(params["norm2_scale"]), vec(params["norm2_bias"]),
+        params["fc1_w"], vec(params["fc1_b"]),
+        params["fc2_w"], vec(params["fc2_b"]),
+        rel_bias, frag_bias,
+    ]
+    in_specs = [spec_x] + [mat_spec(a) for a in args[1:13]] + [
+        bias_spec(rel_bias), bias_spec(frag_bias),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec_x,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BW * N * (3 * C * C + 2 * N * hd * h + C * C
+                                + 2 * C * hidden),
+            bytes_accessed=2 * BW * N * C * x.dtype.itemsize
+            + 2 * h * N * N * 4,
+            transcendentals=BW * (h * N * N + N * hidden),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out

@@ -134,20 +134,29 @@ def test_swin_pallas_flag_matches_xla_path():
     v = m_xla.init(jax.random.key(0), {"technical": x}, train=False)
     out_xla = m_xla.apply(v, {"technical": x}, train=False)
 
-    orig = WA.flash_window_attention
+    orig = WA.flash_window_attention_packed
+    orig_blk = WA.fused_swin_block
 
     def interp(*args, **kwargs):
         kwargs["interpret"] = True
         return orig(*args, **kwargs)
 
-    WA.flash_window_attention = interp
+    def interp_blk(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_blk(*args, **kwargs)
+
+    WA.flash_window_attention_packed = interp
+    WA.fused_swin_block = interp_blk
+    WA.ALLOW_CPU_PALLAS = True
     try:
         m_pal = S.SwinTransformer3D(
             config=S.SwinConfig(use_pallas=True, **kw), dtype=jnp.float32
         )
         out_pal = m_pal.apply(v, {"technical": x}, train=False)
     finally:
-        WA.flash_window_attention = orig
+        WA.flash_window_attention_packed = orig
+        WA.fused_swin_block = orig_blk
+        WA.ALLOW_CPU_PALLAS = False
     np.testing.assert_allclose(
         np.asarray(out_xla), np.asarray(out_pal), atol=2e-4, rtol=1e-3
     )
