@@ -285,7 +285,7 @@ def clip_config_from_state_dict(sd) -> CLIPConfig:
         context_length=sd["positional_embedding"].shape[0],
         vocab_size=sd["token_embedding.weight"].shape[0],
         transformer_width=sd["ln_final.weight"].shape[0],
-        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_heads=max(1, sd["ln_final.weight"].shape[0] // 64),
         transformer_layers=len(
             {
                 k.split(".")[2]
@@ -376,3 +376,24 @@ class CLIP(nn.Module):
         scale = jnp.exp(self.logit_scale)
         logits_per_image = scale * img @ txt.T
         return logits_per_image, logits_per_image.T
+
+
+def load_clip(path: str, dtype=jnp.float32):
+    """Counterpart of the reference's ``clip.load`` (clip/clip.py:86-183),
+    minus the URL download (this build takes a local checkpoint path; the
+    reference's sha256-checked ``_download`` assumes network access).
+
+    Loads an OpenAI CLIP torch checkpoint, infers the architecture from the
+    state dict (like reference ``build_model``), converts the weights, and
+    returns ``(model, variables)`` ready for ``model.apply``.
+    """
+    from ..core.torch_import import convert_clip_full, load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+    cfg = clip_config_from_state_dict(sd)
+    model = CLIP(config=cfg, dtype=dtype)
+    params, stats = convert_clip_full(sd)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    return model, variables

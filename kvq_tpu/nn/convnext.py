@@ -143,3 +143,51 @@ def convnextv2_3d_femto(**kw) -> ConvNeXt3D:
     return ConvNeXt3D(
         depths=(2, 2, 6, 2), dims=(48, 96, 192, 384), v2=True, **kw
     )
+
+
+def convnextv2_3d_atto(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(
+        depths=(2, 2, 6, 2), dims=(40, 80, 160, 320), v2=True, **kw
+    )
+
+
+def convnextv2_3d_nano(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(
+        depths=(2, 2, 8, 2), dims=(80, 160, 320, 640), v2=True, **kw
+    )
+
+
+def convnextv2_3d_tiny(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(
+        depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), v2=True, **kw
+    )
+
+
+def convnextv2_3d_base(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(
+        depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), v2=True, **kw
+    )
+
+
+def convnextv2_3d_large(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(
+        depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536), v2=True, **kw
+    )
+
+
+def convnextv2_3d_huge(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(
+        depths=(3, 3, 27, 3), dims=(352, 704, 1408, 2816), v2=True, **kw
+    )
+
+
+def convnext_3d_base(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), **kw)
+
+
+def convnext_3d_large(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536), **kw)
+
+
+def convnext_3d_xlarge(**kw) -> ConvNeXt3D:
+    return ConvNeXt3D(depths=(3, 3, 27, 3), dims=(256, 512, 1024, 2048), **kw)

@@ -313,3 +313,69 @@ def test_clip_resnet_joint():
     vs = model.init(jax.random.key(0), img, txt, train=False)
     li, _ = model.apply(vs, img, txt, train=False)
     assert li.shape == (2, 2)
+
+
+def test_load_clip_from_torch_checkpoint(tmp_path):
+    """End-to-end: synthetic tiny OpenAI-format ViT CLIP checkpoint ->
+    load_clip (shape inference + conversion) -> forward."""
+    from kvq_tpu.nn.clip_model import load_clip
+
+    torch.manual_seed(3)
+    width, layers, patch, grid, embed = 32, 2, 8, 4, 16
+    tw, tl, th, vocab, ctx = 24, 2, 4, 60, 12
+
+    def t(*shape):
+        return torch.randn(*shape) * 0.05
+
+    sd = {
+        "visual.conv1.weight": t(width, 3, patch, patch),
+        "visual.class_embedding": t(width),
+        "visual.positional_embedding": t(1 + grid * grid, width),
+        "visual.ln_pre.weight": torch.ones(width),
+        "visual.ln_pre.bias": torch.zeros(width),
+        "visual.ln_post.weight": torch.ones(width),
+        "visual.ln_post.bias": torch.zeros(width),
+        "visual.proj": t(width, embed),
+        "token_embedding.weight": t(vocab, tw),
+        "positional_embedding": t(ctx, tw),
+        "ln_final.weight": torch.ones(tw),
+        "ln_final.bias": torch.zeros(tw),
+        "text_projection": t(tw, embed),
+        "logit_scale": torch.tensor(2.6593),
+    }
+    for pre, w, n in (("visual.transformer", width, layers),
+                      ("transformer", tw, tl)):
+        for i in range(n):
+            blk = f"{pre}.resblocks.{i}"
+            sd[f"{blk}.attn.in_proj_weight"] = t(3 * w, w)
+            sd[f"{blk}.attn.in_proj_bias"] = t(3 * w)
+            sd[f"{blk}.attn.out_proj.weight"] = t(w, w)
+            sd[f"{blk}.attn.out_proj.bias"] = t(w)
+            sd[f"{blk}.ln_1.weight"] = torch.ones(w)
+            sd[f"{blk}.ln_1.bias"] = torch.zeros(w)
+            sd[f"{blk}.ln_2.weight"] = torch.ones(w)
+            sd[f"{blk}.ln_2.bias"] = torch.zeros(w)
+            sd[f"{blk}.mlp.c_fc.weight"] = t(4 * w, w)
+            sd[f"{blk}.mlp.c_fc.bias"] = t(4 * w)
+            sd[f"{blk}.mlp.c_proj.weight"] = t(w, 4 * w)
+            sd[f"{blk}.mlp.c_proj.bias"] = t(w)
+
+    path = str(tmp_path / "tiny_clip.pt")
+    torch.save(sd, path)
+
+    model, variables = load_clip(path)
+    assert model.config.vision_patch_size == patch
+    assert model.config.image_resolution == patch * grid
+    assert model.config.transformer_layers == tl
+
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, patch * grid, patch * grid, 3)),
+        jnp.float32,
+    )
+    txt = jnp.asarray(
+        np.random.default_rng(1).integers(1, vocab - 1, size=(3, ctx)),
+        jnp.int32,
+    )
+    li, lt = model.apply(variables, img, txt, train=False)
+    assert li.shape == (2, 3)
+    assert np.isfinite(np.asarray(li)).all()
