@@ -209,3 +209,91 @@ class PredictorLG(_fnn.Module):
         y = jnp.concatenate([local, glob], axis=-1)
         y = _fnn.Dense(1, dtype=dt, name="out_fc")(y)
         return _fnn.gelu(y)
+
+
+class PatchNetMS(_fnn.Module):
+    """Legacy multi-scale PatchNet (reference PatchNet_ms,
+    patchnet.py:166-281, unused by KSVQE — rebuilt for surface parity).
+
+    Two modes, both scored by a learned :class:`PredictorLG` net instead of
+    CLIP attention:
+
+      - ``mode='time'`` (reference ``score='tpool'``): score each frame from
+        avg+max-pooled tokens, select ``k`` frames;
+      - ``mode='spatial'`` (reference ``score='spatch'``): score anchor-size
+        patches per frame, select one patch per frame.
+
+    Train: perturbed top-k indicator (soft, differentiable); eval: hard
+    top-k gather.  Channels-last (B, T, H, W, C) in/out.
+    """
+
+    k: int
+    anchor_size: int = 7
+    stride: int | None = None
+    num_samples: int = 500
+    sigma: float = 0.05
+    mode: str = "time"
+    dtype: object = jnp.float32
+
+    @_fnn.compact
+    def __call__(self, x, *, train: bool = False, key=None):
+        from ..ops.topk import min_max_norm, perturbed_topk
+
+        B, T, H, W, C = x.shape
+        if self.mode == "time":
+            tok = x.reshape(B, T, H * W, C)
+            pooled = jnp.concatenate(
+                [tok.mean(axis=2), tok.max(axis=2)], axis=-1
+            )  # (B, T, 2C)
+            scores = PredictorLG(dtype=self.dtype, name="score_network")(
+                pooled
+            )[..., 0]
+            scores = min_max_norm(scores)  # (B, T)
+            flat = x.reshape(B, T, H * W * C)
+            if train:
+                assert key is not None
+                ind = perturbed_topk(
+                    scores, key, self.k, self.num_samples, self.sigma
+                )  # (B, k, T)
+                sel = jnp.einsum("bkt,btd->bkd", ind.astype(flat.dtype), flat)
+            else:
+                _, idx = jax.lax.top_k(scores, self.k)
+                idx = jnp.sort(idx, axis=-1)
+                sel = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+            return sel.reshape(B, self.k, H, W, C)
+
+        # spatial mode: one anchor_size x anchor_size patch per frame
+        a = self.anchor_size
+        s = self.stride or max((W - a) // 2, 1)
+        tok = x.reshape(B * T, H * W, C)
+        sc = PredictorLG(dtype=self.dtype, name="score_network")(tok)
+        sc = sc.reshape(B * T, H, W, 1)
+
+        def patchify(img):  # (N, H, W, c) -> (N, nP, a*a*c)
+            p = jax.lax.conv_general_dilated_patches(
+                img, (a, a), (s, s), "VALID",
+                dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            )
+            n, oh, ow, d = p.shape
+            return p.reshape(n, oh * ow, d)
+
+        score_patches = patchify(sc).mean(axis=-1)  # (BT, nP)
+        scores = min_max_norm(score_patches)
+        patches = patchify(x.reshape(B * T, H, W, C))  # (BT, nP, c*a*a)
+        if train:
+            assert key is not None
+            ind = perturbed_topk(
+                scores, key, 1, self.num_samples, self.sigma
+            )  # (BT, 1, nP)
+            sel = jnp.einsum(
+                "bkp,bpd->bkd", ind.astype(patches.dtype), patches
+            )[:, 0]
+        else:
+            idx = jnp.argmax(scores, axis=-1)
+            sel = jnp.take_along_axis(
+                patches, idx[:, None, None], axis=1
+            )[:, 0]
+        # conv_general_dilated_patches emits channel-major (c, a, a) features
+        return (
+            sel.reshape(B, T, C, a, a).transpose(0, 1, 3, 4, 2)
+        )

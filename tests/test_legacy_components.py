@@ -130,3 +130,45 @@ def test_predictor_lg():
     vs = m.init(jax.random.key(0), x)
     y = m.apply(vs, x)
     assert y.shape == (2, 10, 1)
+
+
+def test_patchnet_ms_modes_and_layout():
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.nn.regionnet import PatchNetMS
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 6, 8, 8, 4)), jnp.float32)
+    # time mode: selected frames must be exact copies of input frames
+    m = PatchNetMS(k=3, anchor_size=4, mode="time")
+    vs = m.init(jax.random.key(0), x, train=False)
+    y = np.asarray(m.apply(vs, x, train=False))
+    assert y.shape == (2, 3, 8, 8, 4)
+    xs = np.asarray(x)
+    for b in range(2):
+        for kk in range(3):
+            assert any(
+                np.allclose(y[b, kk], xs[b, t]) for t in range(6)
+            ), "time-mode output must be one of the input frames"
+    # train mode runs the perturbed estimator
+    yt = m.apply(vs, x, train=True, key=jax.random.key(1))
+    assert yt.shape == (2, 3, 8, 8, 4)
+
+    # spatial mode: selected patch must be an exact aligned crop
+    m2 = PatchNetMS(k=1, anchor_size=4, stride=2, mode="spatial")
+    vs2 = m2.init(jax.random.key(0), x, train=False)
+    y2 = np.asarray(m2.apply(vs2, x, train=False))
+    assert y2.shape == (2, 6, 4, 4, 4)
+    crops = [
+        xs[b, t, i : i + 4, j : j + 4]
+        for b in range(2)
+        for t in range(6)
+        for i in (0, 2, 4)
+        for j in (0, 2, 4)
+    ]
+    for b in range(2):
+        for t in range(6):
+            assert any(np.allclose(y2[b, t], c) for c in crops), (
+                "spatial-mode output must be an aligned crop of the frame"
+            )
