@@ -228,12 +228,19 @@ class Trainer:
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
+            # KSVQE additionally draws the perturbed-top-k noise from the
+            # 'qrs' stream (nn/ksvqe.py:215) — fold it from the step rng
+            # like the sharded step does (parallel/steps.py:47)
+            rngs = {
+                "dropout": jax.random.fold_in(rng, 0),
+                "qrs": jax.random.fold_in(rng, 1),
+            }
             out = self.model.apply(
                 variables,
                 batch,
                 train=True,
                 mutable=mutable,
-                rngs={"dropout": rng},
+                rngs=rngs,
             )
             if mutable:
                 out, mutated = out
