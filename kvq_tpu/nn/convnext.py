@@ -75,6 +75,7 @@ class ConvNeXt3D(nn.Module):
     depths: tuple[int, ...] = (3, 3, 9, 3)
     dims: tuple[int, ...] = (96, 192, 384, 768)
     inflate_strategy: str = "131"
+    patch_t: int = 2  # temporal stem size (1 -> per-frame 2D ConvNeXt)
     drop_path_rate: float = 0.0
     v2: bool = False
     input_key: str = "asesthetic"
@@ -90,8 +91,8 @@ class ConvNeXt3D(nn.Module):
             if i == 0:
                 x = nn.Conv(
                     self.dims[0],
-                    kernel_size=(2, 4, 4),
-                    strides=(2, 4, 4),
+                    kernel_size=(self.patch_t, 4, 4),
+                    strides=(self.patch_t, 4, 4),
                     padding="VALID",
                     dtype=self.dtype,
                     name="stem_conv",
@@ -191,3 +192,85 @@ def convnext_3d_large(**kw) -> ConvNeXt3D:
 
 def convnext_3d_xlarge(**kw) -> ConvNeXt3D:
     return ConvNeXt3D(depths=(3, 3, 27, 3), dims=(256, 512, 1024, 2048), **kw)
+
+
+class ConvNeXt2D(nn.Module):
+    """Per-image ConvNeXt (reference 2D variants, conv_backbone.py:265-340,
+    542-583): the 3D machinery with temporal patch/kernels of 1, which is
+    mathematically the 2D network applied per frame.  Accepts (B, H, W, C)
+    or (B, T, H, W, C)."""
+
+    depths: tuple[int, ...] = (3, 3, 9, 3)
+    dims: tuple[int, ...] = (96, 192, 384, 768)
+    drop_path_rate: float = 0.0
+    v2: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        squeeze = x.ndim == 4
+        if squeeze:
+            x = x[:, None]
+        y = ConvNeXt3D(
+            depths=self.depths,
+            dims=self.dims,
+            inflate_strategy="1",
+            patch_t=1,
+            drop_path_rate=self.drop_path_rate,
+            v2=self.v2,
+            dtype=self.dtype,
+            name="trunk",
+        )(x, train=train)
+        return y[:, 0] if squeeze else y
+
+
+def convnext_tiny(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), **kw)
+
+
+def convnext_small(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 27, 3), dims=(96, 192, 384, 768), **kw)
+
+
+def convnext_base(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), **kw)
+
+
+def convnext_large(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536), **kw)
+
+
+def convnext_xlarge(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 27, 3), dims=(256, 512, 1024, 2048), **kw)
+
+
+def convnextv2_atto(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(2, 2, 6, 2), dims=(40, 80, 160, 320), v2=True, **kw)
+
+
+def convnextv2_femto(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(2, 2, 6, 2), dims=(48, 96, 192, 384), v2=True, **kw)
+
+
+def convnext_pico(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(2, 2, 6, 2), dims=(64, 128, 256, 512), **kw)
+
+
+def convnextv2_nano(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(2, 2, 8, 2), dims=(80, 160, 320, 640), v2=True, **kw)
+
+
+def convnextv2_tiny(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), v2=True, **kw)
+
+
+def convnextv2_base(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), v2=True, **kw)
+
+
+def convnextv2_large(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536), v2=True, **kw)
+
+
+def convnextv2_huge(**kw) -> ConvNeXt2D:
+    return ConvNeXt2D(depths=(3, 3, 27, 3), dims=(352, 704, 1408, 2816), v2=True, **kw)

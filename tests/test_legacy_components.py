@@ -172,3 +172,22 @@ def test_patchnet_ms_modes_and_layout():
             assert any(np.allclose(y2[b, t], c) for c in crops), (
                 "spatial-mode output must be an aligned crop of the frame"
             )
+
+
+def test_convnext_2d_factories():
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.nn.convnext import convnext_pico, convnextv2_atto
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    for factory, c_out in ((convnextv2_atto, 320), (convnext_pico, 512)):
+        m = factory()
+        vs = m.init(jax.random.key(0), x, train=False)
+        y = m.apply(vs, x, train=False)
+        assert y.shape == (2, 1, 1, c_out)
+        # V2 factories carry GRN params, V1 carry layer-scale gamma
+        leaves = jax.tree_util.tree_leaves(vs["params"])
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
