@@ -112,9 +112,24 @@ def score_prediction_file(
 
     acc_ns = acc_s = 0.0
     if rank_pair_xlsx is not None:
+        import os.path as osp
+
         scores = dict(zip(pred["filename"], pred["score"]))
         for sheet, dest in (("nonsource", "ns"), ("source", "s")):
-            df = pd.read_excel(rank_pair_xlsx, sheet_name=sheet)
+            if osp.isdir(rank_pair_xlsx):
+                # CSV fallback: a directory holding nonsource.csv/source.csv
+                # (two filename columns per row) — xlsx parsing needs
+                # openpyxl, which not every deployment ships
+                df = pd.read_csv(osp.join(rank_pair_xlsx, f"{sheet}.csv"))
+            else:
+                try:
+                    df = pd.read_excel(rank_pair_xlsx, sheet_name=sheet)
+                except ImportError as e:  # pragma: no cover
+                    raise ImportError(
+                        "reading the rank-pair xlsx needs openpyxl; "
+                        "alternatively pass a directory with "
+                        "nonsource.csv/source.csv"
+                    ) from e
             pairs = list(zip(df.iloc[:, 0], df.iloc[:, 1]))
             acc = pairwise_rank_accuracy(scores, pairs)
             if dest == "ns":

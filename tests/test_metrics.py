@@ -60,3 +60,39 @@ def test_pairwise_rank_accuracy():
     # missing videos are skipped, not counted wrong
     acc2 = M.pairwise_rank_accuracy(scores, [("a", "b"), ("x", "y")])
     assert acc2 == pytest.approx(1.0)
+
+
+def test_score_prediction_file_with_rank_pair_csv_dir(tmp_path):
+    """Rank-pair accuracy terms via the CSV-directory fallback (the xlsx
+    path needs openpyxl, absent in this image)."""
+    import pandas as pd
+
+    from kvq_tpu.core.metrics import score_prediction_file
+
+    names = [f"v{i}.mp4" for i in range(6)]
+    truth = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    pred = [1.1, 2.2, 2.9, 4.4, 4.9, 6.2]
+    pd.DataFrame({"filename": names, "score": pred}).to_csv(
+        tmp_path / "pred.csv", index=False
+    )
+    pd.DataFrame({"filename": names, "score": truth}).to_csv(
+        tmp_path / "truth.csv", index=False
+    )
+    rp = tmp_path / "pairs"
+    rp.mkdir()
+    # nonsource: all ordered correctly by pred; source: one inversion
+    pd.DataFrame({"better": [names[5], names[3]],
+                  "worse": [names[0], names[1]]}).to_csv(
+        rp / "nonsource.csv", index=False
+    )
+    pd.DataFrame({"better": [names[1], names[2]],
+                  "worse": [names[0], names[3]]}).to_csv(
+        rp / "source.csv", index=False
+    )
+    out = score_prediction_file(
+        str(tmp_path / "pred.csv"), str(tmp_path / "truth.csv"), str(rp)
+    )
+    assert out["acc_nonsource"] == 1.0
+    assert out["acc_source"] == 0.5
+    assert 0.9 < out["srcc"] <= 1.0
+    assert out["score"] > 0.8
