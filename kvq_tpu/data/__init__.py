@@ -9,4 +9,13 @@ from .datasets import (  # noqa: F401
     ViewDecompositionDataset_KVQ,
     ViewDecompositionDataset_add_forSimpleVQA,
 )
+from .legacy_datasets import (  # noqa: F401
+    CroppedImageDataset,
+    CroppedVideoDataset,
+    FastVQAPlusPlusDataset,
+    FragmentImageDataset,
+    FragmentVideoDataset,
+    ResizedImageDataset,
+    ResizedVideoDataset,
+)
 from .tokenizer import SimpleTokenizer, tokenize  # noqa: F401

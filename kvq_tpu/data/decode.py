@@ -144,3 +144,33 @@ def decode_views(
         k: np.stack([lookup[int(i)] for i in inds]) for k, inds in frame_inds.items()
     }
     return videos, frame_inds
+
+
+def decode_views_ms(
+    source: VideoSource,
+    sample_types: Mapping[str, dict],
+    samplers: Mapping[str, object],
+    is_train: bool = False,
+    rng: "np.random.Generator | None" = None,
+) -> tuple[dict[str, dict], dict[str, np.ndarray]]:
+    """Multi-scale view decomposition (reference
+    spatial_temporal_view_decomposition_ms, fusion_datasets.py:527-604 —
+    unused by any shipped config; rebuilt for surface parity).
+
+    For each sample type returns ``{'scale1': <configured fsize view>,
+    'scale2': <64x64-fragment view>, 'res': min(H, W)}``.
+    """
+    from .views import get_single_view
+
+    videos, frame_inds = decode_views(source, samplers, is_train)
+    sampled: dict[str, dict] = {}
+    for stype, sopt in sample_types.items():
+        video = videos[stype]
+        sopt2 = dict(sopt)
+        sopt2.update(fsize_h=64, fsize_w=64)
+        sampled[stype] = {
+            "scale1": get_single_view(video, stype, rng=rng, **sopt),
+            "scale2": get_single_view(video, stype, rng=rng, **sopt2),
+            "res": int(min(video.shape[1], video.shape[2])),
+        }
+    return sampled, frame_inds

@@ -164,6 +164,16 @@ class RegionSelector:
             from ..ops.topk import gumbel_topk_indicator
 
             ind = gumbel_topk_indicator(scores, key)
+        elif train and self.sample_type == "multinomial":
+            # Reference get_multinomial_indicator (patchnet.py:411-418) is
+            # broken as shipped (undefined `w_fre1`/`self.args`); the evident
+            # intent — sample one region from the score distribution — is
+            # implemented here as a categorical draw over score logits.
+            assert key is not None
+            idx = jax.random.categorical(key, scores, axis=-1)  # (B*n_key,)
+            ind = jax.nn.one_hot(idx, scores.shape[-1], dtype=scores.dtype)[
+                :, None, :
+            ]
         elif train and self.sample_type == "random":
             assert key is not None
             nR = scores.shape[-1]
@@ -209,6 +219,54 @@ class PredictorLG(_fnn.Module):
         y = jnp.concatenate([local, glob], axis=-1)
         y = _fnn.Dense(1, dtype=dt, name="out_fc")(y)
         return _fnn.gelu(y)
+
+
+class PredictorLGConv(_fnn.Module):
+    """Convolutional score net of the legacy PatchNet_ms_conv (reference
+    patchnet.py:35-58, unused by KSVQE — rebuilt for surface parity):
+    Conv3x3(C->2) -> GELU -> Conv3x3(2->2) -> GELU -> softmax over the two
+    score channels.  Channels-last (N, H, W, C) -> (N, H, W, 2)."""
+
+    dtype: object = jnp.float32
+
+    @_fnn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        y = _fnn.Conv(2, (3, 3), padding=1, dtype=dt, name="conv1")(x)
+        y = _fnn.gelu(y)
+        y = _fnn.Conv(2, (3, 3), padding=1, dtype=dt, name="conv2")(y)
+        y = _fnn.gelu(y)
+        # reference nn.Softmax() (no dim) resolves to the channel dim on 4-D
+        # input; channels-last here -> last axis
+        return _fnn.softmax(y, axis=-1)
+
+
+class PatchNetMSConv(_fnn.Module):
+    """Legacy conv multi-scale PatchNet (reference PatchNet_ms_conv,
+    patchnet.py:283-365, unused by KSVQE — rebuilt for surface parity).
+
+    The functional mode (reference ``spatch``): the input stacks two scale
+    variants along channels; a conv score net emits two per-pixel weights
+    (softmaxed) that blend the scales.  The reference's ``time`` branch is
+    broken as shipped (feeds 3-D input to Conv2d, returns an undefined
+    name); it is not reproduced.
+
+    Channels-last: (B, T, H, W, 2C) -> (B, T, H, W, C).
+    """
+
+    k: int = 49
+    num_samples: int = 500
+    dtype: object = jnp.float32
+
+    @_fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, T, H, W, C2 = x.shape
+        assert C2 % 2 == 0, "input must stack two scales along channels"
+        flat = x.reshape(B * T, H, W, C2)
+        scores = PredictorLGConv(dtype=self.dtype, name="score_network")(flat)
+        s1, s2 = flat[..., : C2 // 2], flat[..., C2 // 2 :]
+        out = scores[..., 0:1] * s1 + scores[..., 1:2] * s2
+        return out.reshape(B, T, H, W, C2 // 2)
 
 
 class PatchNetMS(_fnn.Module):

@@ -66,6 +66,17 @@ def get_window_size(x_size, window_size, shift_size=None):
 
 
 @lru_cache(maxsize=None)
+def get_adaptive_window_size(base_window_size, input_x_size, base_x_size):
+    """Scale a base window proportionally to the input size (reference
+    swin_backbone.py:53-61; without its debug print).  All-static — the
+    result feeds trace-time geometry."""
+    return tuple(
+        (w * xi) // xb
+        for w, xi, xb in zip(base_window_size, input_x_size, base_x_size)
+    )
+
+
+@lru_cache(maxsize=None)
 def relative_position_index(window_size: tuple[int, int, int]) -> np.ndarray:
     """(N, N) gather indices into the (2Wd-1)(2Wh-1)(2Ww-1) bias table
     (reference swin_backbone.py:212-238)."""

@@ -191,3 +191,65 @@ def test_convnext_2d_factories():
         # V2 factories carry GRN params, V1 carry layer-scale gamma
         leaves = jax.tree_util.tree_leaves(vs["params"])
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_patchnet_ms_conv_blends_two_scales():
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.nn.regionnet import PatchNetMSConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 8, 6)), jnp.float32)
+    m = PatchNetMSConv()
+    vs = m.init(jax.random.key(0), x)
+    y = np.asarray(m.apply(vs, x))
+    assert y.shape == (2, 3, 8, 8, 3)
+    # per-pixel softmax weights -> output bounded by the two scales' envelope
+    xs = np.asarray(x)
+    lo = np.minimum(xs[..., :3], xs[..., 3:])
+    hi = np.maximum(xs[..., :3], xs[..., 3:])
+    assert (y >= lo - 1e-5).all() and (y <= hi + 1e-5).all()
+
+
+def test_region_selector_multinomial():
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.nn.regionnet import RegionSelector, keyframe_schedule
+
+    rng = np.random.default_rng(0)
+    frag = jnp.asarray(rng.normal(size=(1, 8, 24, 24, 3)), jnp.float32)
+    cls_attn = jnp.asarray(rng.uniform(size=(1, 4, 9)), jnp.float32)
+    _, group = keyframe_schedule(8)
+    sel = RegionSelector(k=4, anchor_size=8, sample_type="multinomial")
+    out = sel(frag, cls_attn, group, train=True, key=jax.random.key(0))
+    # 3x3 anchor grid, k_side=2 -> 16x16 regions
+    assert out.shape == (1, 8, 16, 16, 3)
+    # one-hot indicator => the output is an exact region crop
+    outs = np.asarray(out)
+    fr = np.asarray(frag)
+    crops = [
+        fr[0, t, i : i + 16, j : j + 16]
+        for t in range(8)
+        for i in (0, 8)
+        for j in (0, 8)
+    ]
+    for t in range(8):
+        assert any(np.allclose(outs[0, t], c) for c in crops)
+
+
+def test_get_adaptive_window_size():
+    from kvq_tpu.nn.swin import get_adaptive_window_size
+
+    # reference swin_backbone.py:53-61: window scales with input/base ratio
+    assert get_adaptive_window_size((8, 7, 7), (32, 112, 112), (32, 56, 56)) == (
+        8,
+        14,
+        14,
+    )
+    assert get_adaptive_window_size((8, 7, 7), (16, 56, 56), (32, 56, 56)) == (
+        4,
+        7,
+        7,
+    )
