@@ -450,13 +450,32 @@ class SwinBlock3D(nn.Module):
 
         N = window[0] * window[1] * window[2]
         no_pad = D % window[0] == 0 and H % window[1] == 0 and W % window[2] == 0
-        bias_bytes = (1 + int(self.frag_bias)) * self.num_heads * N * N * 4
+        # The fused kernel's VMEM residents: fp32 bias plane(s), bf16 block
+        # weights (qkv+proj+4x MLP), double-buffered token tiles (mirrors
+        # the G selection in fused_swin_block), plus ~1 MB of reused
+        # scratch (empirical: Mosaic reported 18.4 MB at C=384/h=12 with
+        # two planes = planes 14.7 + weights 3.5 + tiles).  The kernel
+        # raises Mosaic's scoped-VMEM ceiling to 100 MB (v5e has 128 MB);
+        # gate with headroom for compiler temporaries.
+        hidden = int(C * self.mlp_ratio)
+        per_window = 2 * N * C * 2
+        g_tiles = next(
+            (g * per_window for g in (8, 4, 2, 1)
+             if g * per_window <= 4 * 1024 * 1024),
+            per_window,
+        )
+        vmem_est = (
+            (1 + int(self.frag_bias)) * self.num_heads * N * N * 4
+            + (4 * C * C + 2 * C * hidden) * 2
+            + g_tiles
+            + 1024 * 1024
+        )
         if (
             self.use_pallas
             and not train
             and not self.jump_attention
             and no_pad
-            and bias_bytes <= 10 * 1024 * 1024
+            and vmem_est <= 80 * 1024 * 1024
             and not self.is_initializing()
             and "params" in self.variables
             and "norm1" in self.variables["params"]

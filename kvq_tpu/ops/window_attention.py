@@ -315,7 +315,13 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
     def kernel(x_ref, n1s_ref, n1b_ref, qkvw_ref, qkvb_ref,
                projw_ref, projb_ref, n2s_ref, n2b_ref,
                fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
-               relb_ref, fragb_ref, out_ref):
+               relb_ref, *rest):
+        # the frag-bias plane is only an operand when use_frag — passing a
+        # zeros plane otherwise doubles the kernel's VMEM bias footprint
+        if use_frag:
+            fragb_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         chunk = pl.program_id(0)
 
         def ln(xx, s_ref, b_ref):
@@ -460,8 +466,7 @@ def fused_swin_block(
     assert h * hd == C and N == geo.n_tokens
     if scale is None:
         scale = hd ** -0.5
-    if frag_bias is None:
-        frag_bias = jnp.zeros_like(rel_bias)
+    assert (frag_bias is not None) == geo.use_frag
 
     hidden = params["fc1_w"].shape[1]
     # group: qkv (N,3C) + hidden (N,4C) + s/p (N,N) fp32 are per-window
@@ -505,11 +510,15 @@ def fused_swin_block(
         vec(params["norm2_scale"]), vec(params["norm2_bias"]),
         params["fc1_w"], vec(params["fc1_b"]),
         params["fc2_w"], vec(params["fc2_b"]),
-        rel_bias, frag_bias,
+        rel_bias,
     ]
     in_specs = [spec_x] + [mat_spec(a) for a in args[1:13]] + [
-        bias_spec(rel_bias), bias_spec(frag_bias),
+        bias_spec(rel_bias)
     ]
+    if geo.use_frag:
+        args.append(frag_bias)
+        in_specs.append(bias_spec(frag_bias))
+    n_planes = 1 + int(geo.use_frag)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -520,8 +529,14 @@ def fused_swin_block(
             flops=2 * BW * N * (3 * C * C + 2 * N * hd * h + C * C
                                 + 2 * C * hidden),
             bytes_accessed=2 * BW * N * C * x.dtype.itemsize
-            + 2 * h * N * N * 4,
+            + n_planes * h * N * N * 4,
             transcendentals=BW * (h * N * N + N * hidden),
+        ),
+        # Raise Mosaic's scoped-VMEM ceiling (default 16 MB) so the fp32
+        # bias planes of the wide stages (12/24 heads, with fragment bias)
+        # stay VMEM-resident; v5e/v5p have 128 MB VMEM per core.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(*args)
