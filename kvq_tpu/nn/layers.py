@@ -88,8 +88,14 @@ class _PatchProj(nn.Module):
         x = x.reshape(B, T // pt, H // ph, W // pw, pt * ph * pw * C)
         # NOTE: the remaining cost here is the C=3-minor-dim relayout (the
         # 8-D transpose), which XLA executes at ~10 GB/s regardless of
-        # formulation (multi-contracting-dim dot_general measures the same);
-        # it is still ~5 ms faster than the strided Conv3d lowering.
+        # formulation; it is still ~5 ms faster than the strided Conv3d
+        # lowering.  Alternatives measured (tools/profile_patch_embed.py):
+        # multi-contracting dot_general is slower (15 ms); pt*ph
+        # strided-slice K=pw*C matmuls are 2x faster standalone (6 ms) but
+        # the x[:, ti::pt, hi::ph] lowering FAULTS the TPU worker inside
+        # the full KSVQE program, and the equivalent statically-indexed
+        # view form is slower end-to-end (25.3 vs 23.1 ms/step).  Keep the
+        # transpose.
         w = kernel.reshape(pt * ph * pw * C, self.features).astype(self.dtype)
         return x.astype(self.dtype) @ w + bias.astype(self.dtype)
 

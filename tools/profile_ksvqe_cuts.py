@@ -70,9 +70,15 @@ def main():
         loss = distortion_contrastive_supervised(dist_tok, b["dis_label"])
         if cut == "dist":
             return x.sum() + dist_tok.sum() + loss
+        if cut == "stages":
+            # trunk stages only — CDM modulation skipped — to split the
+            # stages+CDM marginal
+            for stage in self.layers:
+                x = stage(x, train=False)
+            return x.sum() + dist_tok.sum() + loss
         raise ValueError(cut)
 
-    cuts = ["clip", "qrs", "embed", "dist"]
+    cuts = ["clip", "qrs", "embed", "dist", "stages"]
     times = {}
     for cut in cuts:
         s = timed_loop(
@@ -95,7 +101,8 @@ def main():
     print(f"QRS marginal        : {(times['qrs'] - times['clip']) * 1e3:7.1f} ms")
     print(f"patch_embed marginal: {(times['embed'] - times['qrs']) * 1e3:7.1f} ms")
     print(f"dist-path marginal  : {(times['dist'] - times['embed']) * 1e3:7.1f} ms")
-    print(f"stages+CDM marginal : {(times['full'] - times['dist']) * 1e3:7.1f} ms")
+    print(f"stages marginal     : {(times['stages'] - times['dist']) * 1e3:7.1f} ms")
+    print(f"CDM marginal        : {(times['full'] - times['stages']) * 1e3:7.1f} ms")
 
 
 if __name__ == "__main__":

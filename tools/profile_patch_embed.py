@@ -63,15 +63,70 @@ def main():
                 out = d if out is None else out + d
         return out + b
 
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def pe_kernel(x_ref, w_ref, b_ref, out_ref):
+        # x_ref (1,1,pt,H,56,12); w_ref (pt,ph,12,F); out (1,1,56,56,F)
+        acc = None
+        for ti in range(pt):
+            for hi in range(ph):
+                sl = x_ref[0, 0, ti, hi::ph]  # (56, 56, 12)
+                d = jax.lax.dot_general(
+                    sl, w_ref[ti, hi],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = d if acc is None else acc + d
+        out_ref[0, 0] = (acc + b_ref[0].astype(jnp.float32)).astype(
+            out_ref.dtype
+        )
+
+    @jax.jit
+    def v_d(x, w, b):
+        x5 = x.reshape(B, T // pt, pt, H, W // pw, pw * C)
+        w2 = w.reshape(pt, ph, pw * C, F)
+        grid = (B * (T // pt),)
+        return pl.pallas_call(
+            pe_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, pt, H, W // pw, pw * C),
+                             lambda i: (i // (T // pt), i % (T // pt), 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(w2.shape, lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, H // ph, W // pw, F),
+                lambda i: (i // (T // pt), i % (T // pt), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, T // pt, H // ph, W // pw, F), x.dtype
+            ),
+        )(x5.reshape(B, T // pt, pt, H, W // pw, pw * C),
+          w2, b.reshape(1, F))
+
     ra = v_a(x, w, b)
     rb = v_b(x, w, b)
     rc = v_c(x, w, b)
     print("max|a-b|", float(jnp.max(jnp.abs(ra.astype(jnp.float32) - rb.astype(jnp.float32)))))
     print("max|a-c|", float(jnp.max(jnp.abs(ra.astype(jnp.float32) - rc.astype(jnp.float32)))))
+    try:
+        rd = v_d(x, w, b)
+        print("max|a-d|", float(jnp.max(jnp.abs(ra.astype(jnp.float32) - rd.astype(jnp.float32)))))
+        pallas_ok = True
+    except Exception as e:
+        print("pallas variant failed:", str(e)[:300])
+        pallas_ok = False
 
     wb = {"w": w, "b": b}
     for name, fn in [("a transpose+matmul", v_a), ("b dot_general regroup", v_b),
-                     ("c 8-slice K=12", v_c)]:
+                     ("c 8-slice K=12", v_c)] + (
+                         [("d pallas fused", v_d)] if pallas_ok else []):
         s = timed_loop(lambda vs, xx, f=fn: f(xx, vs["w"], vs["b"]), wb, x)
         print(f"{name:24s}: {s*1e3:7.2f} ms")
 
