@@ -110,9 +110,21 @@ def main():
         )(x5.reshape(B, T // pt, pt, H, W // pw, pw * C),
           w2, b.reshape(1, F))
 
+    @jax.jit
+    def v_e(x, w, b):
+        # free-regroup + ONE transpose moving pw*C=12-element chunks
+        # (vs 3-element in variant a); patch-vector order (ti,hi,wi,c)
+        # preserved so the same kernel reshape applies
+        y = x.reshape(B, T // pt, pt, H // ph, ph, W // pw, pw * C)
+        y = y.transpose(0, 1, 3, 5, 2, 4, 6)
+        y = y.reshape(B, T // pt, H // ph, W // pw, pt * ph * pw * C)
+        return y @ w.reshape(-1, F) + b
+
     ra = v_a(x, w, b)
     rb = v_b(x, w, b)
     rc = v_c(x, w, b)
+    re = v_e(x, w, b)
+    print("max|a-e|", float(jnp.max(jnp.abs(ra.astype(jnp.float32) - re.astype(jnp.float32)))))
     print("max|a-b|", float(jnp.max(jnp.abs(ra.astype(jnp.float32) - rb.astype(jnp.float32)))))
     print("max|a-c|", float(jnp.max(jnp.abs(ra.astype(jnp.float32) - rc.astype(jnp.float32)))))
     try:
@@ -125,7 +137,7 @@ def main():
 
     wb = {"w": w, "b": b}
     for name, fn in [("a transpose+matmul", v_a), ("b dot_general regroup", v_b),
-                     ("c 8-slice K=12", v_c)] + (
+                     ("c 8-slice K=12", v_c), ("e regroup transpose", v_e)] + (
                          [("d pallas fused", v_d)] if pallas_ok else []):
         s = timed_loop(lambda vs, xx, f=fn: f(xx, vs["w"], vs["b"]), wb, x)
         print(f"{name:24s}: {s*1e3:7.2f} ms")
