@@ -58,3 +58,29 @@ def profile_trace(logdir: str | None):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def count_params(params) -> int:
+    """Total parameter count of a pytree (the reference profiles params
+    via thop in its __main__ smoke blocks, simpleVQA_model.py:444-459)."""
+    import jax
+
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def flops_estimate(fn, *args) -> float | None:
+    """Compiled-graph FLOPs estimate from XLA's cost analysis (the
+    reference's thop.profile counterpart; thop counts module macs, XLA
+    counts lowered-HLO flops — same order, different accounting).
+    Returns None when the backend reports no estimate."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    try:
+        cost = compiled.cost_analysis()
+    except Exception:
+        return None
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = (cost or {}).get("flops")
+    return float(flops) if flops else None

@@ -96,3 +96,15 @@ def test_score_prediction_file_with_rank_pair_csv_dir(tmp_path):
     assert out["acc_source"] == 0.5
     assert 0.9 < out["srcc"] <= 1.0
     assert out["score"] > 0.8
+
+
+def test_count_params_and_flops_estimate():
+    import jax.numpy as jnp
+
+    from kvq_tpu.core.logging import count_params, flops_estimate
+
+    p = {"a": jnp.ones((3, 4)), "b": {"c": jnp.ones((5,))}}
+    assert count_params(p) == 17
+    f = flops_estimate(lambda x: x @ x, jnp.ones((64, 64)))
+    # XLA reports 2*64^3 for a 64x64 matmul (None allowed on exotic backends)
+    assert f is None or f == 2 * 64**3
