@@ -38,6 +38,12 @@ def parse_args(argv=None):
         default=None,
         help="full train-state checkpoint to resume (params/opt/EMA/step)",
     )
+    p.add_argument(
+        "--ddp",
+        action="store_true",
+        help="accepted for train_ddp.py compatibility; multi-host runs are "
+        "configured via jax.distributed + the mesh, not a separate flag",
+    )
     return p.parse_args(argv)
 
 

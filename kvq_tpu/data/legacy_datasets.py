@@ -58,6 +58,44 @@ def _read_4col(ann_file, data_prefix: str) -> list[dict]:
     return infos
 
 
+def _register_legacy(name: str):
+    """Register a legacy class under its reference name, adapted to the
+    trainer's opt-dict calling convention (Trainer.build_datasets calls
+    ``DATASETS.get(type)(args_dict)``) while keeping the reference's
+    positional ``(ann_file, data_prefix, ...)`` constructor surface."""
+    import inspect
+
+    def deco(cls):
+        def factory(*args, **kw):
+            if len(args) == 1 and not kw and isinstance(args[0], dict):
+                opt = dict(args[0])
+                ann = opt.pop("anno_file", None)
+                if ann is None:
+                    ann = opt.pop("ann_file")
+                prefix = opt.pop("data_prefix", "")
+                # named params across the MRO (subclass kwargs flow to the
+                # base through **kw, so one signature is not enough)
+                accepted: set[str] = set()
+                for klass in cls.__mro__:
+                    init = klass.__dict__.get("__init__")
+                    if init is not None:
+                        accepted |= {
+                            p.name
+                            for p in inspect.signature(init).parameters.values()
+                            if p.kind
+                            not in (p.VAR_KEYWORD, p.VAR_POSITIONAL)
+                        }
+                opt = {k: v for k, v in opt.items() if k in accepted}
+                return cls(ann, prefix, **opt)
+            return cls(*args, **kw)
+
+        factory.__name__ = name
+        DATASETS.register(name)(factory)
+        return cls
+
+    return deco
+
+
 class _LegacyVideoBase:
     """Shared machinery: annotations, per-index RNG, decode, memory cache."""
 
@@ -83,14 +121,15 @@ class _LegacyVideoBase:
         return len(self.video_infos)
 
     def _decode(self, index: int, sampler) -> tuple[np.ndarray, np.ndarray, float, tuple]:
+        from .decode import decode_views
+
         info = self.video_infos[index]
         source = self.source_factory(info["filename"])
-        frame_inds = sampler(source.num_frames(), self.phase == "train")
-        uniq = np.unique(frame_inds)
-        decoded = source.get_frames(uniq)
-        lookup = {int(i): decoded[k] for k, i in enumerate(uniq)}
-        video = np.stack([lookup[int(i)] for i in frame_inds])  # (T,H,W,C)
-        return video, frame_inds, info["label"], video.shape[1:]
+        videos, frame_inds = decode_views(
+            source, {"v": sampler}, self.phase == "train"
+        )
+        video = videos["v"]  # (T, H, W, C)
+        return video, frame_inds["v"], info["label"], video.shape[1:]
 
     def _raw_item(self, index: int) -> dict:
         raise NotImplementedError
@@ -106,9 +145,11 @@ class _LegacyVideoBase:
         return item
 
 
-@DATASETS.register("FragmentVideoDataset")
+@_register_legacy("FragmentVideoDataset")
 class FragmentVideoDataset(_LegacyVideoBase):
     """Fragment-mosaic clips (basic_datasets.py:376-501)."""
+
+    fallback_type: str = "upsample"
 
     def __init__(
         self,
@@ -128,25 +169,35 @@ class FragmentVideoDataset(_LegacyVideoBase):
         super().__init__(ann_file, data_prefix, cache_in_memory, phase, **kw)
         self.clip_len = clip_len
         self.num_clips = num_clips
-        self.fragments, self.fsize = fragments, fsize
+        self.fragments_hw = (fragments, fragments)
+        self.fsize_hw = (fsize, fsize)
         # clamp: per-clip jitter groups can't span more frames than a clip
         self.nfrags, self.aligned = nfrags, min(aligned, clip_len)
-        self.sampler = SampleFrames(clip_len, frame_interval, num_clips)
+        self._sampler_args = (clip_len, frame_interval, num_clips)
+
+    def _sampler(self, rng: np.random.Generator):
+        # fresh per-item sampler so train-phase temporal offsets are keyed
+        # by (seed, index) like the spatial jitter — reproducible and safe
+        # under a multithreaded loader
+        return SampleFrames(*self._sampler_args, rng=rng)
 
     def _view(self, video: np.ndarray, rng) -> np.ndarray:
         return get_spatial_fragments(
             video,
-            self.fragments,
-            self.fragments,
-            self.fsize,
-            self.fsize,
+            self.fragments_hw[0],
+            self.fragments_hw[1],
+            self.fsize_hw[0],
+            self.fsize_hw[1],
             aligned=self.aligned,
+            fallback_type=self.fallback_type,
             rng=rng,
         )
 
     def _raw_item(self, index: int) -> dict:
         rng = self._rng(index)
-        video, frame_inds, label, shape = self._decode(index, self.sampler)
+        video, frame_inds, label, shape = self._decode(
+            index, self._sampler(rng)
+        )
         # nfrags independently-jittered mosaics stack along time
         # (basic_datasets.py:455-477 cats on the T axis) and split into
         # V = nfrags*num_clips clip views.
@@ -156,14 +207,14 @@ class FragmentVideoDataset(_LegacyVideoBase):
         t, h, w, c = frags.shape
         v = self.nfrags * self.num_clips
         return dict(
-            video=frags.reshape(v, t // v, h, w, c).astype(np.float32),
+            video=frags.reshape(v, t // v, h, w, c),
             frame_inds=frame_inds,
             gt_label=label,
             original_shape=shape,
         )
 
 
-@DATASETS.register("FastVQAPlusPlusDataset")
+@_register_legacy("FastVQAPlusPlusDataset")
 class FastVQAPlusPlusDataset(FragmentVideoDataset):
     """3-D fragment grid: temporal fragments via FragmentSampleFrames plus
     the spatial mosaic (basic_datasets.py:234-375)."""
@@ -188,27 +239,18 @@ class FastVQAPlusPlusDataset(FragmentVideoDataset):
         )
         self.clip_len = fragments[0] * fsize[0]
         self.num_clips = num_clips
-        self.fragments, self.fsize = fragments[1], fsize[1]
-        self.nfrags, self.aligned = nfrags, aligned
+        self.fragments_hw = tuple(fragments[1:])
+        self.fsize_hw = tuple(fsize[1:])
+        self.nfrags = nfrags
+        self.aligned = min(aligned, self.clip_len)
         self.fallback_type = fallback_type
-        self.sampler = FragmentSampleFrames(
-            fsize[0], fragments[0], frame_interval, num_clips
-        )
+        self._sampler_args = (fsize[0], fragments[0], frame_interval, num_clips)
 
-    def _view(self, video: np.ndarray, rng) -> np.ndarray:
-        return get_spatial_fragments(
-            video,
-            self.fragments,
-            self.fragments,
-            self.fsize,
-            self.fsize,
-            aligned=self.aligned,
-            fallback_type=self.fallback_type,
-            rng=rng,
-        )
+    def _sampler(self, rng: np.random.Generator):
+        return FragmentSampleFrames(*self._sampler_args, rng=rng)
 
 
-@DATASETS.register("ResizedVideoDataset")
+@_register_legacy("ResizedVideoDataset")
 class ResizedVideoDataset(_LegacyVideoBase):
     """Bilinear-resized clips (basic_datasets.py:502-584; the reference
     never assigns its resize result — fixed here)."""
@@ -228,22 +270,23 @@ class ResizedVideoDataset(_LegacyVideoBase):
     ):
         super().__init__(ann_file, data_prefix, cache_in_memory, phase, **kw)
         self.clip_len, self.num_clips, self.size = clip_len, num_clips, size
-        self.sampler = SampleFrames(clip_len, frame_interval, num_clips)
+        self._sampler_args = (clip_len, frame_interval, num_clips)
 
     def _raw_item(self, index: int) -> dict:
-        video, frame_inds, label, shape = self._decode(index, self.sampler)
+        sampler = SampleFrames(*self._sampler_args, rng=self._rng(index))
+        video, frame_inds, label, shape = self._decode(index, sampler)
         resized = get_resized_video(video, self.size, self.size)
         t, h, w, c = resized.shape
         v = self.num_clips
         return dict(
-            video=resized.reshape(v, t // v, h, w, c).astype(np.float32),
+            video=resized.reshape(v, t // v, h, w, c),
             frame_inds=frame_inds,
             gt_label=label,
             original_shape=shape,
         )
 
 
-@DATASETS.register("CroppedVideoDataset")
+@_register_legacy("CroppedVideoDataset")
 class CroppedVideoDataset(FragmentVideoDataset):
     """Crops as a 1x1 fragment grid (basic_datasets.py:585-617; the
     reference hardcodes fsize=224 and ignores ``size`` — honored here)."""
@@ -323,7 +366,7 @@ class _LegacyImageBase:
         return item
 
 
-@DATASETS.register("FragmentImageDataset")
+@_register_legacy("FragmentImageDataset")
 class FragmentImageDataset(_LegacyImageBase):
     """Fragment mosaic over a single image (basic_datasets.py:618-717)."""
 
@@ -361,14 +404,14 @@ class FragmentImageDataset(_LegacyImageBase):
         # leading crop axis ("one image as a batch", basic_datasets.py:697)
         image = frags[0] if self.nfrags == 1 else frags
         return dict(
-            image=image.astype(np.float32),
+            image=image,
             gt_label=info["label"],
             original_shape=img.shape[:2],
             name=info["filename"],
         )
 
 
-@DATASETS.register("ResizedImageDataset")
+@_register_legacy("ResizedImageDataset")
 class ResizedImageDataset(_LegacyImageBase):
     """Resized image (basic_datasets.py:718-789; the reference body calls
     get_spatial_fragments with undefined attributes — fixed to resize)."""
@@ -390,14 +433,14 @@ class ResizedImageDataset(_LegacyImageBase):
         img = self.image_reader(info["filename"])
         resized = get_resized_video(img[None], self.size, self.size)[0]
         return dict(
-            image=resized.astype(np.float32),
+            image=resized,
             gt_label=info["label"],
             original_shape=img.shape[:2],
             name=info["filename"],
         )
 
 
-@DATASETS.register("CroppedImageDataset")
+@_register_legacy("CroppedImageDataset")
 class CroppedImageDataset(FragmentImageDataset):
     """Crops as a 1x1 fragment grid (basic_datasets.py:790-812)."""
 

@@ -167,10 +167,13 @@ class RegionSelector:
         elif train and self.sample_type == "multinomial":
             # Reference get_multinomial_indicator (patchnet.py:411-418) is
             # broken as shipped (undefined `w_fre1`/`self.args`); the evident
-            # intent — sample one region from the score distribution — is
-            # implemented here as a categorical draw over score logits.
+            # intent — torch.multinomial, i.e. P(region) ∝ score — needs
+            # log-scores as categorical logits (raw [0,1] min-max scores
+            # would cap the best/worst probability ratio at e).
             assert key is not None
-            idx = jax.random.categorical(key, scores, axis=-1)  # (B*n_key,)
+            idx = jax.random.categorical(
+                key, jnp.log(scores + 1e-12), axis=-1
+            )  # (B*n_key,)
             ind = jax.nn.one_hot(idx, scores.shape[-1], dtype=scores.dtype)[
                 :, None, :
             ]

@@ -459,8 +459,10 @@ def fused_swin_block(
     weights (norm1/qkv/proj/norm2/fc1/fc2 with flax names); rel/frag bias
     (h, N, N) fp32.  Returns (BW, N, C) — the full block output.
 
-    VMEM-feasible for h <= 6 with fragment bias (bias planes fp32-resident);
-    callers fall back to the unfused path otherwise."""
+    VMEM feasibility is the caller's contract (SwinBlock3D gates on an
+    estimate of planes + weights + tiles <= 80 MB against the kernel's
+    100 MB compiler ceiling); all four Swin-T stages, 3-24 heads, with or
+    without fragment bias, take this path at KSVQE eval shapes."""
     BW, N, C = x.shape
     h, hd = geo.num_heads, geo.head_dim
     assert h * hd == C and N == geo.n_tokens

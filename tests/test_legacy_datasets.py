@@ -134,3 +134,40 @@ def test_decode_views_ms():
     assert sampled["technical"]["scale2"].shape == (32, 448, 448, 3)
     assert sampled["technical"]["res"] == 360
     assert frame_inds["technical"].shape == (32,)
+
+
+def test_legacy_registry_opt_dict_construction():
+    # Trainer.build_datasets calls DATASETS.get(type)(args_dict) — the
+    # legacy registrations must accept the opt-dict convention
+    ds = DATASETS.get("FragmentVideoDataset")(
+        dict(
+            anno_file=ANN,
+            data_prefix="",
+            clip_len=32,
+            num_clips=1,
+            source_factory=_src,
+            weight=0.5,  # unknown keys are dropped
+        )
+    )
+    assert len(ds) == 2
+    assert ds[0]["video"].shape == (1, 32, 224, 224, 3)
+
+
+def test_fastvqa_plusplus_asymmetric_and_short_clip():
+    # fragments/fsize index-2 (W axis) honored; aligned clamps to clip_len
+    ds = FastVQAPlusPlusDataset(
+        ANN, "", fragments=(4, 8, 4), fsize=(4, 32, 64), source_factory=_src,
+    )
+    item = ds[0]
+    # clip_len = 4*4 = 16 (< default aligned=32 — must not raise);
+    # 8x32=256 tall, 4x64=256 wide
+    assert item["video"].shape == (1, 16, 256, 256, 3)
+
+
+def test_legacy_train_sampling_reproducible_per_index():
+    ds = FragmentVideoDataset(
+        ANN, "", clip_len=16, num_clips=1, phase="train", source_factory=_src,
+    )
+    a = ds[0]["video"]
+    b = ds[0]["video"]
+    np.testing.assert_array_equal(a, b)

@@ -82,9 +82,11 @@ def main():
     )
     opt_state = tx.init(params)
 
+    from kvq_tpu.train.optim import ema_update
+
     @functools.partial(jax.jit, static_argnums=3)
     def train_n(carry, b, key, n):
-        params, opt_state, acc = carry
+        params, ema_params, opt_state, acc = carry
         frag = b["fragment"]
         for i in range(n):
             key, k1, k2 = jax.random.split(key, 3)
@@ -107,15 +109,16 @@ def main():
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            ema_params = ema_update(ema_params, params, 0.999)
             acc = acc + loss
             frag = b["fragment"] + (acc * 1e-9).astype(frag.dtype)
-        return (params, opt_state, acc)
+        return (params, ema_params, opt_state, acc)
 
     key = jax.random.key(3)
-    carry = (params, opt_state, jnp.float32(0))
+    carry = (params, jax.tree_util.tree_map(lambda t: t, params), opt_state, jnp.float32(0))
     t0 = time.time()
     c1 = train_n(carry, batch, key, 1)
-    float(c1[2])  # force readback
+    float(c1[3])  # force readback
     print(f"compile+first step: {time.time() - t0:.1f}s", flush=True)
 
     # A multi-step in-jit loop OOMs HBM (each unrolled step keeps its remat
@@ -127,7 +130,7 @@ def main():
         b2 = dict(batch, fragment=batch["fragment"] + jnp.bfloat16(i * 1e-3))
         t0 = time.time()
         out = train_n(carry, b2, jax.random.key(10 + i), 1)
-        float(out[2])
+        float(out[3])
         times.append(time.time() - t0)
     step_s = min(times[1:])  # skip the first (donation/layout warmup)
     print(
