@@ -1,0 +1,79 @@
+"""Checkpoint conversion CLI — torch reference checkpoints -> kvq_tpu.
+
+The reference loads torch checkpoints from hardcoded paths (LSVQ swin at
+KSVQE_model.py:1028, CONTRIQUE at :1078, CLIP via download, full model
+via `load_path`).  This tool converts any of them once into this
+framework's msgpack checkpoint format, usable as ``load_path`` in
+configs::
+
+    python -m kvq_tpu.cli.convert --kind ksvqe \
+        --src KSVQE_techniqual_pretrainonLSVQ.pth --out ksvqe_lsvq.ckpt
+
+Kinds:
+  ksvqe       full VQA_Network KSVQE checkpoint (KSVQE_backbone.* [+ head])
+  swin        (LSVQ-pretrained) Video-Swin trunk; fragment tables forked
+              from the relative tables when absent (swin_backbone.py:945-952)
+  contrique   CONTRIQUE_checkpoint25.tar (ResNet-50 encoder + projector)
+  clip        OpenAI CLIP visual tower (ViT)
+  clip_full   full OpenAI CLIP (visual + text encoders)
+  resnet50    torchvision/ImageNet ResNet-50 (SimpleVQA spatial branch)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("kvq_tpu convert")
+    p.add_argument("--kind", required=True,
+                   choices=["ksvqe", "swin", "contrique", "clip",
+                            "clip_full", "resnet50"])
+    p.add_argument("--src", required=True, help="torch checkpoint path")
+    p.add_argument("--out", required=True, help="output .ckpt path")
+    p.add_argument("--clip_layers", type=int, default=12)
+    return p.parse_args(argv)
+
+
+def convert(kind: str, src: str, clip_layers: int = 12) -> dict:
+    from ..core import torch_import as TI
+
+    sd = TI.strip_module_prefix(TI.load_torch_state_dict(src))
+    if kind == "ksvqe":
+        params, stats = TI.convert_ksvqe_full(sd, clip_layers=clip_layers)
+    elif kind == "swin":
+        params, stats = TI.convert_swin3d(sd), {}
+    elif kind == "contrique":
+        params, stats = TI.convert_contrique(sd)
+    elif kind == "clip":
+        params, stats = TI.convert_clip_visual(sd, n_layers=clip_layers), {}
+    elif kind == "clip_full":
+        params, stats = TI.convert_clip_full(sd)
+    elif kind == "resnet50":
+        params, stats = TI.convert_simplevqa_resnet50(sd)
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    return {"params": params, "batch_stats": stats}
+
+
+def main(argv=None):
+    from ..core import checkpoint as ckpt
+
+    args = parse_args(argv)
+    state = convert(args.kind, args.src, clip_layers=args.clip_layers)
+    ckpt.save_checkpoint(args.out, state)
+
+    def count(tree):
+        n = 0
+        for v in tree.values():
+            n += count(v) if isinstance(v, dict) else 1
+        return n
+
+    print(
+        f"wrote {args.out}: {count(state['params'])} param leaves, "
+        f"{count(state['batch_stats'])} stat leaves"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -320,3 +320,158 @@ def convert_clip_full(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
     _set(p, "text/text_projection", sd["text_projection"])
     _set(p, "logit_scale", sd["logit_scale"])
     return p, s
+
+
+# --------------------------------------------------------------------------
+# Full KSVQE (VQA_Network checkpoint) -> kvq_tpu KSVQE + VQAHead
+
+
+def strip_module_prefix(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Drop DDP's 'module.' prefix (reference trainer_ddp.py:74-77)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+def conv1x1_to_dense(w: np.ndarray) -> np.ndarray:
+    """1x1(x1) ConvNd weight (out, in, 1...) -> Dense kernel (in, out)."""
+    return w.reshape(w.shape[0], w.shape[1]).T
+
+
+def _adapter(p: dict, dst: str, sd: Mapping, src: str,
+             names: tuple[str, str] = ("fc1", "fc2")) -> None:
+    """nn.Sequential(Linear, ReLU, Linear, ReLU) -> two named Denses."""
+    _set(p, f"{dst}/{names[0]}/kernel", linear(sd[f"{src}.0.weight"]))
+    _set(p, f"{dst}/{names[0]}/bias", sd[f"{src}.0.bias"])
+    _set(p, f"{dst}/{names[1]}/kernel", linear(sd[f"{src}.2.weight"]))
+    _set(p, f"{dst}/{names[1]}/bias", sd[f"{src}.2.bias"])
+
+
+def convert_vqa_head(
+    sd: Mapping[str, np.ndarray], prefix: str = "KSVQE_head."
+) -> dict:
+    """VQAHead Conv3d 1x1x1 weights (head.py:55-56) -> Dense params."""
+    p: dict = {}
+    _set(p, "fc_hid/kernel", conv1x1_to_dense(sd[prefix + "fc_hid.weight"]))
+    _set(p, "fc_hid/bias", sd[prefix + "fc_hid.bias"])
+    _set(p, "fc_last/kernel", conv1x1_to_dense(sd[prefix + "fc_last.weight"]))
+    _set(p, "fc_last/bias", sd[prefix + "fc_last.bias"])
+    return p
+
+
+def convert_ksvqe_backbone(
+    sd: Mapping[str, np.ndarray],
+    prefix: str = "KSVQE_backbone.",
+    depths: tuple[int, ...] = (2, 2, 6, 2),
+    frag_biases: tuple[bool, ...] = (True, True, True, False),
+    clip_layers: int = 12,
+    contrique_layers: tuple[int, ...] = (3, 4, 6, 3),
+) -> tuple[dict, dict]:
+    """Reference KSVQE module (KSVQE_model.py:1024-1350) -> params/stats.
+
+    Covers the trunk (patch_embed + 4 Swin stages + final norm), the CLIP
+    tool with cls adapters, CONTRIQUE + projector (BN running stats in the
+    stats tree), dist_adapter, and every CDM module list
+    (semantic/distortion adapters, cross attentions, temporal
+    self-attention, FiLM transforms, a1/a2)."""
+    bk = prefix
+    p = convert_swin3d(
+        sd, depths=depths, frag_biases=frag_biases, prefix=bk, trunk_key=None
+    )
+    s: dict = {}
+
+    # CLIP tool: visual tower + residual cls adapters
+    clip_p = convert_clip_visual(
+        sd, n_layers=clip_layers, prefix=f"{bk}CLIP_tool.visual."
+    )
+    i = 0
+    while f"{bk}CLIP_tool.adapter_layer.{i}.0.weight" in sd:
+        _adapter(
+            clip_p,
+            f"adapter_layer_{i}",
+            sd,
+            f"{bk}CLIP_tool.adapter_layer.{i}",
+        )
+        i += 1
+    p["CLIP_tool"] = clip_p
+
+    # CONTRIQUE distortion tool (same layout as the standalone tar)
+    dt_prefix = f"{bk}distortion_tool."
+    dt_sd = {
+        k[len(dt_prefix):]: v for k, v in sd.items() if k.startswith(dt_prefix)
+    }
+    dp, ds = convert_contrique(dt_sd, layers=contrique_layers)
+    p["distortion_tool"] = dp
+    s["distortion_tool"] = ds
+
+    _adapter(p, "dist_adapter", sd, f"{bk}dist_adapter")
+
+    # CDM module lists (one entry per stage >= tuning_stage)
+    m = 0
+    while f"{bk}semantic_adapter.{m}.0.weight" in sd:
+        _adapter(p, f"semantic_adapter_{m}", sd, f"{bk}semantic_adapter.{m}")
+        _adapter(p, f"distortion_adapter_{m}", sd, f"{bk}distortion_adapter.{m}")
+        for which in ("semantic_cross", "distortion_cross"):
+            for fc in ("fc_q", "fc_k", "fc_v"):
+                src = f"{bk}{which}.{m}.{fc}"
+                _set(p, f"{which}_{m}/{fc}/kernel", linear(sd[f"{src}.weight"]))
+                _set(p, f"{which}_{m}/{fc}/bias", sd[f"{src}.bias"])
+        _set(
+            p,
+            f"distortion_self_{m}/to_qkv/kernel",
+            linear(sd[f"{bk}distortion_self.{m}.to_qkv.weight"]),
+        )
+        _set(
+            p,
+            f"distortion_self_{m}/to_out/kernel",
+            linear(sd[f"{bk}distortion_self.{m}.to_out.0.weight"]),
+        )
+        _set(
+            p,
+            f"distortion_self_{m}/to_out/bias",
+            sd[f"{bk}distortion_self.{m}.to_out.0.bias"],
+        )
+        for conv in ("conv_gama", "conv_beta"):
+            _set(
+                p,
+                f"semantic_mod_{m}/{conv}/kernel",
+                conv1x1_to_dense(sd[f"{bk}semantic_mod.{m}.{conv}.weight"]),
+            )
+            _set(
+                p,
+                f"semantic_mod_{m}/{conv}/bias",
+                sd[f"{bk}semantic_mod.{m}.{conv}.bias"],
+            )
+        for lin in ("get_gamma", "get_beta"):
+            _set(
+                p,
+                f"distortion_mod_{m}/{lin}/kernel",
+                linear(sd[f"{bk}distortion_mod.{m}.{lin}.weight"]),
+            )
+            _set(
+                p,
+                f"distortion_mod_{m}/{lin}/bias",
+                sd[f"{bk}distortion_mod.{m}.{lin}.bias"],
+            )
+        m += 1
+
+    if f"{bk}a1" in sd:
+        p["a1"] = np.asarray(sd[f"{bk}a1"], np.float32)
+        p["a2"] = np.asarray(sd[f"{bk}a2"], np.float32)
+    return p, s
+
+
+def convert_ksvqe_full(
+    sd: Mapping[str, np.ndarray], **kwargs
+) -> tuple[dict, dict]:
+    """Full reference VQA_Network checkpoint ('KSVQE_backbone.*' +
+    'KSVQE_head.*', optional DDP 'module.' prefix) -> (params, batch_stats)
+    trees for :class:`kvq_tpu.models.vqa_network.VQANetwork`."""
+    sd = strip_module_prefix(sd)
+    bp, bs = convert_ksvqe_backbone(sd, **kwargs)
+    params = {"KSVQE_backbone": bp}
+    stats = {"KSVQE_backbone": bs}
+    if "KSVQE_head.fc_hid.weight" in sd:
+        params["KSVQE_head"] = convert_vqa_head(sd)
+    return params, stats

@@ -144,13 +144,14 @@ class CLIPVisionTower(nn.Module):
                 self.heads, dtype=self.dtype, name=f"resblocks_{i}"
             )(x)
             if self.cls_use and i >= self.clip_location:
-                a = nn.Sequential(
-                    [
-                        nn.Dense(self.width // 4, dtype=self.dtype),
-                        nn.relu,
-                        nn.Dense(self.width, dtype=self.dtype),
-                        nn.relu,
-                    ],
+                # a named module per adapter — an inline nn.Sequential does
+                # NOT scope its children (they registered as colliding
+                # Dense_N leaves of the tower, breaking checkpoint naming)
+                from .cdm import AdapterMLP
+
+                a = AdapterMLP(
+                    self.width,
+                    dtype=self.dtype,
                     name=f"adapter_layer_{i - self.clip_location}",
                 )(x[:, :1])
                 cls_tok = self.adapter_ratio * a + (1 - self.adapter_ratio) * x[:, :1]

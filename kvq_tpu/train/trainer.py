@@ -141,6 +141,16 @@ class Trainer:
             src = loaded.get("params", loaded.get("state_dict", loaded))
             params, report = ckpt.merge_params(params, src, strict=False)
             print("loaded", load_path, {k: len(v) for k, v in report.items()})
+            # converted torch checkpoints carry frozen-BN running stats
+            # (CONTRIQUE/ResNet) — eval is wrong without them
+            if batch_stats and loaded.get("batch_stats"):
+                batch_stats, s_report = ckpt.merge_params(
+                    batch_stats, loaded["batch_stats"], strict=False
+                )
+                print(
+                    "loaded batch_stats",
+                    {k: len(v) for k, v in s_report.items()},
+                )
 
         n_train = len(self.train_loader) if self.train_loader else 1
         opt_cfg = self.config.get("optimizer", {})

@@ -135,3 +135,46 @@ def test_cli_metric_score(tiny_project, tmp_path):
     result = main(["--pred", str(pred), "--truth", str(truth)])
     assert result["srcc"] == pytest.approx(1.0)
     assert result["score"] == pytest.approx(0.45 * result["srcc"] + 0.45 * result["plcc"])
+
+
+def test_convert_cli_contrique(tmp_path):
+    import numpy as np
+    import torch
+
+    from kvq_tpu.cli.convert import main as convert_main
+    from kvq_tpu.core.checkpoint import load_checkpoint
+
+    # minimal CONTRIQUE-shaped torch checkpoint: Sequential encoder
+    # (conv1, bn1, <skip>, <skip>, layer1) + projector
+    sd = {}
+    sd["encoder.0.weight"] = torch.randn(8, 3, 7, 7)
+    for k, shape in [("weight", (8,)), ("bias", (8,)),
+                     ("running_mean", (8,)), ("running_var", (8,))]:
+        sd[f"encoder.1.{k}"] = torch.randn(shape)
+    # one bottleneck block in layer1 (encoder position 4)
+    for ci, (o, i) in enumerate([(4, 8), (4, 4), (16, 4)], start=1):
+        sd[f"encoder.4.0.conv{ci}.weight"] = torch.randn(o, i, 1, 1)
+        for k in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"encoder.4.0.bn{ci}.{k}"] = torch.randn(o)
+    sd["encoder.4.0.downsample.0.weight"] = torch.randn(16, 8, 1, 1)
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"encoder.4.0.downsample.1.{k}"] = torch.randn(16)
+    sd["projector.0.weight"] = torch.randn(16, 16)
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"projector.1.{k}"] = torch.randn(16)
+    sd["projector.3.weight"] = torch.randn(4, 16)
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"projector.4.{k}"] = torch.randn(4)
+
+    src = tmp_path / "contrique.tar"
+    out = tmp_path / "contrique.ckpt"
+    torch.save({"state_dict": sd}, src)
+    convert_main(["--kind", "contrique", "--src", str(src), "--out", str(out)])
+
+    state = load_checkpoint(str(out))
+    p, s = state["params"], state["batch_stats"]
+    assert p["encoder"]["stem"]["conv1"]["kernel"].shape == (7, 7, 3, 8)
+    assert p["projector_fc2"]["kernel"].shape == (16, 4)
+    np.testing.assert_allclose(
+        s["projector_bn2"]["mean"], sd["projector.4.running_mean"].numpy()
+    )

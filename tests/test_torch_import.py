@@ -236,3 +236,173 @@ def test_contrique_import_structure():
     assert not rp["mismatched"], rp["mismatched"][:8]
     out = model.apply({"params": mp, "batch_stats": ms}, x)
     assert out.shape == (1, 2, 4, 128)
+
+
+def test_ksvqe_full_checkpoint_conversion_covers_every_param():
+    """Build a reference-named state dict for a tiny KSVQE (inverse of the
+    converter's name map), convert it, and require every leaf of the flax
+    init tree to be produced with the right shape — so a real
+    VQA_Network .pth maps onto VQANetwork with no silent gaps."""
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.nn.ksvqe import KSVQE, KSVQEConfig
+
+    cfg = KSVQEConfig(
+        num_samples=1,
+        tuning_stage=1,
+        anchor_size=8,
+        region_k=9,
+        embed_dim=16,
+        depths=(1, 1),
+        num_heads=(2, 2),
+        window_size=(2, 7, 7),
+        use_checkpoint=False,
+        contrique_layers=(1, 1, 1, 1),
+        clip_layers=2,
+        clip_location=1,
+        cls_use=True,
+        clip_width=64,
+        clip_heads=4,
+    )
+    model = KSVQE(config=cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    batch = {
+        "fragment": jnp.asarray(rng.normal(size=(1, 8, 40, 40, 3)), jnp.float32),
+        "resize_video": jnp.asarray(rng.normal(size=(1, 8, 32, 32, 3)), jnp.float32),
+        "dis_label": jnp.zeros((1,), jnp.int32),
+    }
+    variables = model.init(
+        {"params": jax.random.key(0), "qrs": jax.random.key(1)}, batch,
+        train=False,
+    )
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            path = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                out.update(flatten(v, path))
+            else:
+                out[path] = np.asarray(v)
+        return out
+
+    flat_p = flatten(variables["params"])
+    flat_s = flatten(variables.get("batch_stats", {}))
+
+    def torch_key(path, leaf, collection):
+        """Inverse of convert_ksvqe_backbone's name map (tiny subset)."""
+        import re
+
+        t = path
+        # contrique projector / encoder positional names first
+        t = t.replace("projector_fc1", "projector.0")
+        t = t.replace("projector_bn1", "projector.1")
+        t = t.replace("projector_fc2", "projector.3")
+        t = t.replace("projector_bn2", "projector.4")
+        t = t.replace("encoder/stem/conv1", "encoder.0")
+        t = t.replace("encoder/stem/bn1", "encoder.1")
+        t = re.sub(r"encoder/layer(\d)_(\d+)",
+                   lambda m: f"encoder.{int(m.group(1)) + 3}.{m.group(2)}", t)
+        # flax list-index suffixes -> torch ModuleList dots
+        for pre in ("layers", "blocks", "resblocks", "adapter_layer",
+                    "semantic_adapter", "distortion_adapter",
+                    "semantic_cross", "distortion_cross", "distortion_self",
+                    "semantic_mod", "distortion_mod"):
+            t = re.sub(rf"\b{pre}_(\d+)", rf"{pre}.\1", t)
+        t = t.replace("CLIP_tool/resblocks.", "CLIP_tool/transformer_resblocks.")
+        t = t.replace("/", ".")
+        t = t.replace("CLIP_tool.", "CLIP_tool.visual.")
+        t = t.replace(
+            "visual.transformer_resblocks", "visual.transformer.resblocks"
+        )
+        t = t.replace("CLIP_tool.visual.adapter_layer", "CLIP_tool.adapter_layer")
+        t = t.replace(".Dense_0", ".0").replace(".Dense_1", ".2")
+        t = t.replace("mlp_c_fc", "mlp.c_fc").replace("mlp_c_proj", "mlp.c_proj")
+        t = t.replace(".attn.in_proj", ".attn.in_proj_")
+        # the nn.Sequential adapters flatten fc1/fc2 -> indices 0/2
+        if "adapter" in t:
+            t = t.replace(".fc1.", ".0.").replace(".fc2.", ".2.")
+        t = t.replace("to_out.", "to_out.0.")
+        t = t.replace("downsample_conv", "downsample.0")
+        t = t.replace("downsample_bn", "downsample.1")
+        # leaves
+        if leaf in ("scale", "kernel"):
+            t = t.rsplit(".", 1)[0] + ".weight"
+        elif leaf == "mean":
+            t = t.rsplit(".", 1)[0] + ".running_mean"
+        elif leaf == "var":
+            t = t.rsplit(".", 1)[0] + ".running_var"
+        t = t.replace(".in_proj_.weight", ".in_proj_weight")
+        t = t.replace(".in_proj_.bias", ".in_proj_bias")
+        return "KSVQE_backbone." + t
+
+    def torch_value(path, leaf, arr):
+        if leaf != "kernel":
+            return arr
+        if arr.ndim == 2:  # Dense
+            return arr.T
+        if arr.ndim == 4:  # Conv2d HWIO -> OIHW
+            return arr.transpose(3, 2, 0, 1)
+        if arr.ndim == 5:  # Conv3d
+            return arr.transpose(4, 3, 0, 1, 2)
+        return arr
+
+    sd = {}
+    for path, arr in {**flat_p, **flat_s}.items():
+        leaf = path.rsplit("/", 1)[-1]
+        if leaf in ("relative_position_bias_table",
+                    "fragment_position_bias_table", "class_embedding",
+                    "positional_embedding", "a1", "a2"):
+            # tables/embeddings map 1:1 (no leaf rename)
+            sd[torch_key(path, leaf, None)] = rng.normal(
+                size=arr.shape
+            ).astype(np.float32)
+            continue
+        sd[torch_key(path, leaf, None)] = torch_value(
+            path, leaf, rng.normal(size=arr.shape).astype(np.float32)
+        )
+
+    # FiLM convs are flax Dense here but Conv2d 1x1 in torch
+    for m in range(1):
+        for conv in ("conv_gama", "conv_beta"):
+            k = f"KSVQE_backbone.semantic_mod.{m}.{conv}.weight"
+            if k in sd and sd[k].ndim == 2:
+                sd[k] = sd[k][:, :, None, None]  # (out,in,1,1)
+
+    from kvq_tpu.core import torch_import as TI
+
+    p, s = TI.convert_ksvqe_backbone(
+        sd,
+        depths=cfg.depths,
+        frag_biases=cfg.frag_biases[: len(cfg.depths)],
+        clip_layers=cfg.clip_layers,
+        contrique_layers=cfg.contrique_layers,
+    )
+    got_p = flatten(p)
+    got_s = flatten(s)
+    missing = sorted(set(flat_p) - set(got_p))
+    assert not missing, f"converter missed params: {missing[:10]}"
+    for k, v in flat_p.items():
+        assert got_p[k].shape == v.shape, (k, got_p[k].shape, v.shape)
+    missing_s = sorted(set(flat_s) - set(got_s))
+    assert not missing_s, f"converter missed stats: {missing_s[:10]}"
+
+
+def test_vqa_head_conversion():
+    from kvq_tpu.core import torch_import as TI
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "KSVQE_head.fc_hid.weight": rng.normal(size=(64, 768, 1, 1, 1)).astype(np.float32),
+        "KSVQE_head.fc_hid.bias": rng.normal(size=(64,)).astype(np.float32),
+        "KSVQE_head.fc_last.weight": rng.normal(size=(1, 64, 1, 1, 1)).astype(np.float32),
+        "KSVQE_head.fc_last.bias": rng.normal(size=(1,)).astype(np.float32),
+    }
+    p = TI.convert_vqa_head(sd)
+    assert p["fc_hid"]["kernel"].shape == (768, 64)
+    np.testing.assert_allclose(
+        p["fc_hid"]["kernel"],
+        sd["KSVQE_head.fc_hid.weight"].reshape(64, 768).T,
+    )
+    assert p["fc_last"]["kernel"].shape == (64, 1)
