@@ -11,6 +11,7 @@ configs::
 
 Kinds:
   ksvqe       full VQA_Network KSVQE checkpoint (KSVQE_backbone.* [+ head])
+  simplevqa   full VQA_Network SimpleVQA checkpoint (ResNet-50 + MLP head)
   swin        (LSVQ-pretrained) Video-Swin trunk; fragment tables forked
               from the relative tables when absent (swin_backbone.py:945-952)
   contrique   CONTRIQUE_checkpoint25.tar (ResNet-50 encoder + projector)
@@ -27,8 +28,8 @@ import argparse
 def parse_args(argv=None):
     p = argparse.ArgumentParser("kvq_tpu convert")
     p.add_argument("--kind", required=True,
-                   choices=["ksvqe", "swin", "contrique", "clip",
-                            "clip_full", "resnet50"])
+                   choices=["ksvqe", "simplevqa", "swin", "contrique",
+                            "clip", "clip_full", "resnet50"])
     p.add_argument("--src", required=True, help="torch checkpoint path")
     p.add_argument("--out", required=True, help="output .ckpt path")
     p.add_argument("--clip_layers", type=int, default=12)
@@ -41,6 +42,8 @@ def convert(kind: str, src: str, clip_layers: int = 12) -> dict:
     sd = TI.strip_module_prefix(TI.load_torch_state_dict(src))
     if kind == "ksvqe":
         params, stats = TI.convert_ksvqe_full(sd, clip_layers=clip_layers)
+    elif kind == "simplevqa":
+        params, stats = TI.convert_simplevqa_full(sd)
     elif kind == "swin":
         params, stats = TI.convert_swin3d(sd), {}
     elif kind == "contrique":

@@ -475,3 +475,24 @@ def convert_ksvqe_full(
     if "KSVQE_head.fc_hid.weight" in sd:
         params["KSVQE_head"] = convert_vqa_head(sd)
     return params, stats
+
+
+def convert_simplevqa_full(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
+    """Full reference VQA_Network SimpleVQA checkpoint
+    ('simpleVQA_backbone.*' ResNet-50 + 'simpleVQA_head.*' 2-layer MLP) ->
+    (params, batch_stats) for VQANetwork.  The backbone's in-model
+    ``quality`` head is bypassed by the reference forward
+    (simpleVQA_model.py:258-262) and is not converted."""
+    sd = strip_module_prefix(sd)
+    bp, bs = convert_resnet_trunk(sd, prefix="simpleVQA_backbone.")
+    params: dict = {"simpleVQA_backbone": {"trunk": bp}}
+    stats: dict = {"simpleVQA_backbone": {"trunk": bs}}
+    hk = "simpleVQA_head.quality."
+    if hk + "0.weight" in sd:
+        hp: dict = {}
+        _set(hp, "fc1/kernel", linear(sd[hk + "0.weight"]))
+        _set(hp, "fc1/bias", sd[hk + "0.bias"])
+        _set(hp, "fc2/kernel", linear(sd[hk + "1.weight"]))
+        _set(hp, "fc2/bias", sd[hk + "1.bias"])
+        params["simpleVQA_head"] = hp
+    return params, stats
