@@ -44,6 +44,14 @@ def parse_args(argv=None):
         help="accepted for train_ddp.py compatibility; multi-host runs are "
         "configured via jax.distributed + the mesh, not a separate flag",
     )
+    p.add_argument(
+        "--debug_nans",
+        action="store_true",
+        help="raise on the first NaN/Inf produced under jit — the JAX "
+        "counterpart of the reference's always-on "
+        "torch.autograd.set_detect_anomaly (train_ddp.py:2); opt-in here "
+        "because it disables some fusions",
+    )
     return p.parse_args(argv)
 
 
@@ -51,6 +59,8 @@ def main(argv=None):
     args = parse_args(argv)
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     config = load_config(args.opt)
     os.makedirs(args.resume, exist_ok=True)

@@ -215,3 +215,39 @@ def test_trainer_ksvqe_train_step_uses_qrs_rng(tmp_path):
     state, aux = tr._train_step(tr.state, sample, jax.random.key(7))
     assert np.isfinite(float(aux["total_loss"]))
     assert int(state.step) == 1
+
+
+def test_load_path_merges_params_and_batch_stats(tmp_path):
+    """Converted torch checkpoints carry frozen-BN running stats — both
+    trees must merge into the built model (trainer.py build_models)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.core import checkpoint as ckpt
+
+    cfg = tiny_config(tmp_path)
+    t0 = Trainer(cfg, workdir=str(tmp_path / "w0"), test_set="val")
+    t0.build_datasets()
+    sample = next(t0.train_loader.epoch(0))
+    t0.build_models(sample, seed=0)
+
+    # craft a checkpoint with recognizable values
+    marked_params = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, 0.125), t0.state.params
+    )
+    marked_stats = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, 0.25), t0.state.batch_stats
+    )
+    path = str(tmp_path / "conv.ckpt")
+    ckpt.save_checkpoint(
+        path, {"params": marked_params, "batch_stats": marked_stats}
+    )
+
+    cfg2 = dict(cfg, load_path=path)
+    t1 = Trainer(cfg2, workdir=str(tmp_path / "w1"), test_set="val")
+    t1.build_datasets()
+    t1.build_models(next(t1.train_loader.epoch(0)), seed=0)
+    leaf_p = jax.tree_util.tree_leaves(t1.state.params)[0]
+    leaf_s = jax.tree_util.tree_leaves(t1.state.batch_stats)[0]
+    assert float(np.ravel(leaf_p)[0]) == 0.125
+    assert float(np.ravel(leaf_s)[0]) == 0.25
