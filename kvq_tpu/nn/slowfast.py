@@ -92,48 +92,65 @@ class _Bottleneck3D(nn.Module):
 
 class _Pathway(nn.Module):
     """One pathway's stage stack; lateral inputs are concatenated by the
-    parent before each stage."""
+    parent before each stage.
+
+    Submodules are defined in ``setup`` (NOT created inside the ``stem``/
+    ``stage`` methods — flax only permits submodule creation in ``setup``
+    or a compact method, and the parent drives these methods directly).
+    """
 
     width: int  # 64 slow, 8 fast
     t_kernels: tuple[int, int, int, int]
     stem_t: int
+    layers: tuple[int, ...] = (3, 4, 6, 3)
     dtype: jnp.dtype = jnp.float32
 
-    def stem(self, x, train):
+    def setup(self):
         t = self.stem_t
-        x = nn.Conv(
+        self.stem_conv = nn.Conv(
             self.width,
             kernel_size=(t, 7, 7),
             strides=(1, 2, 2),
             padding=((t // 2, t // 2), (3, 3), (3, 3)),
             use_bias=False,
             dtype=self.dtype,
-            name="stem_conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="stem_bn",
-        )(x)
+        )
+        self.stem_bn = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )
+        blocks = []
+        for idx, n_blocks in enumerate(self.layers):
+            planes = self.width * (2**idx)
+            strides = 1 if idx == 0 else 2
+            stage = []
+            for b in range(n_blocks):
+                # the first block of every stage changes channel count
+                # (stage 0: stem/lateral channels != 4*planes) or strides,
+                # so it always carries the projection shortcut
+                stage.append(
+                    _Bottleneck3D(
+                        planes=planes,
+                        t_kernel=self.t_kernels[idx],
+                        strides=strides if b == 0 else 1,
+                        downsample=(b == 0),
+                        dtype=self.dtype,
+                        name=f"res{idx + 2}_{b}",
+                    )
+                )
+            blocks.append(stage)
+        self.blocks = blocks
+
+    def stem(self, x, train):
+        x = self.stem_conv(x)
+        x = self.stem_bn(x, use_running_average=not train)
         x = nn.relu(x)
         return nn.max_pool(
             x, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1))
         )
 
     def stage(self, x, idx, n_blocks, train):
-        planes = self.width * (2**idx)
-        strides = 1 if idx == 0 else 2
-        in_ch = x.shape[-1]
-        for b in range(n_blocks):
-            ds = b == 0 and (strides != 1 or in_ch != planes * 4)
-            x = _Bottleneck3D(
-                planes=planes,
-                t_kernel=self.t_kernels[idx],
-                strides=strides if b == 0 else 1,
-                downsample=ds,
-                dtype=self.dtype,
-                name=f"res{idx + 2}_{b}",
-            )(x, train=train)
-            in_ch = planes * 4
+        for block in self.blocks[idx]:
+            x = block(x, train=train)
         return x
 
 
@@ -148,13 +165,14 @@ class SlowFastR50(nn.Module):
         """slow (B, T/4, H, W, 3), fast (B, T, H, W, 3) ->
         (slow_feat (B, 2048), fast_feat (B, 256))."""
         slow_path = _Pathway(
-            width=64, t_kernels=(1, 1, 3, 3), stem_t=1, dtype=self.dtype,
-            name="slow",
+            width=64, t_kernels=(1, 1, 3, 3), stem_t=1, layers=self.layers,
+            dtype=self.dtype, name="slow",
         )
         fast_path = _Pathway(
             width=64 // self.beta_inv,
             t_kernels=(3, 3, 3, 3),
             stem_t=5,
+            layers=self.layers,
             dtype=self.dtype,
             name="fast",
         )
