@@ -18,6 +18,7 @@ Kinds:
   clip        OpenAI CLIP visual tower (ViT)
   clip_full   full OpenAI CLIP (visual + text encoders)
   resnet50    torchvision/ImageNet ResNet-50 (SimpleVQA spatial branch)
+  slowfast    pytorchvideo slowfast_r50 (motion-feature extractor)
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("kvq_tpu convert")
     p.add_argument("--kind", required=True,
                    choices=["ksvqe", "simplevqa", "swin", "contrique",
-                            "clip", "clip_full", "resnet50"])
+                            "clip", "clip_full", "resnet50", "slowfast"])
     p.add_argument("--src", required=True, help="torch checkpoint path")
     p.add_argument("--out", required=True, help="output .ckpt path")
     p.add_argument("--clip_layers", type=int, default=12)
@@ -54,6 +55,8 @@ def convert(kind: str, src: str, clip_layers: int = 12) -> dict:
         params, stats = TI.convert_clip_full(sd)
     elif kind == "resnet50":
         params, stats = TI.convert_simplevqa_resnet50(sd)
+    elif kind == "slowfast":
+        params, stats = TI.convert_slowfast_r50(sd)
     else:  # pragma: no cover
         raise ValueError(kind)
     return {"params": params, "batch_stats": stats}

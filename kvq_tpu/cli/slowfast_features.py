@@ -112,6 +112,13 @@ def main(argv=None):
                     variables["params"], loaded.get("params", loaded)
                 )
                 variables = dict(variables, params=merged)
+                # converted checkpoints carry the BN running stats the
+                # frozen eval-mode model depends on
+                if loaded.get("batch_stats"):
+                    stats, _ = ckpt.merge_params(
+                        variables["batch_stats"], loaded["batch_stats"]
+                    )
+                    variables = dict(variables, batch_stats=stats)
         out_dir = os.path.join(args.out, name)
         os.makedirs(out_dir, exist_ok=True)
         for k, (s, f) in enumerate(

@@ -496,3 +496,61 @@ def convert_simplevqa_full(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
         _set(hp, "fc2/bias", sd[hk + "1.bias"])
         params["simpleVQA_head"] = hp
     return params, stats
+
+
+# --------------------------------------------------------------------------
+# SlowFast-R50 (pytorchvideo naming) -> kvq_tpu.nn.slowfast.SlowFastR50
+
+
+def convert_slowfast_r50(
+    sd: Mapping[str, np.ndarray], layers: tuple[int, ...] = (3, 4, 6, 3)
+) -> tuple[dict, dict]:
+    """pytorchvideo ``slowfast_r50`` state dict -> SlowFastR50 params/stats.
+
+    Key layout (pytorchvideo create_slowfast; the reference loads this
+    model via torch.hub, SlowFast_features.py:137-165): ``blocks.0`` holds
+    the two stems + first fusion, ``blocks.1..4`` the four stages (each
+    ``multipathway_blocks.{0=slow,1=fast}.res_blocks.{b}`` with
+    ``branch2.conv_{a,b,c}`` bottleneck convs and optional
+    ``branch1_conv`` projection) + fusions after stages 1-3; the
+    classification head (``blocks.5+``) is not used — the reference taps
+    pooled pathway features."""
+    p: dict = {}
+    s: dict = {}
+
+    def bn3d(dst, src):
+        _bn(p, s, dst, sd, src)
+
+    for pi, path in ((0, "slow"), (1, "fast")):
+        stem = f"blocks.0.multipathway_blocks.{pi}"
+        _set(p, f"{path}/stem_conv/kernel", conv3d(sd[f"{stem}.conv.weight"]))
+        bn3d(f"{path}/stem_bn", f"{stem}.norm")
+        for li, n_blocks in enumerate(layers):
+            for b in range(n_blocks):
+                src = f"blocks.{li + 1}.multipathway_blocks.{pi}.res_blocks.{b}"
+                dst = f"{path}/res{li + 2}_{b}"
+                for tc, mc in (("a", "1"), ("b", "2"), ("c", "3")):
+                    _set(
+                        p,
+                        f"{dst}/conv{mc}/kernel",
+                        conv3d(sd[f"{src}.branch2.conv_{tc}.weight"]),
+                    )
+                    bn3d(f"{dst}/bn{mc}", f"{src}.branch2.norm_{tc}")
+                if f"{src}.branch1_conv.weight" in sd:
+                    _set(
+                        p,
+                        f"{dst}/downsample_conv/kernel",
+                        conv3d(sd[f"{src}.branch1_conv.weight"]),
+                    )
+                    bn3d(f"{dst}/downsample_bn", f"{src}.branch1_norm")
+    for i in range(4):  # fusions: stem + after stages 1..3
+        src = f"blocks.{i}.multipathway_fusion"
+        if f"{src}.conv_fast_to_slow.weight" not in sd:
+            continue
+        _set(
+            p,
+            f"lateral_{i}_conv/kernel",
+            conv3d(sd[f"{src}.conv_fast_to_slow.weight"]),
+        )
+        bn3d(f"lateral_{i}_bn", f"{src}.norm")
+    return p, s
