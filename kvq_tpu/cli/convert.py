@@ -40,7 +40,7 @@ def parse_args(argv=None):
 def convert(kind: str, src: str, clip_layers: int = 12) -> dict:
     from ..core import torch_import as TI
 
-    sd = TI.strip_module_prefix(TI.load_torch_state_dict(src))
+    sd = TI.load_torch_state_dict(src)  # unwraps + strips DDP prefix
     if kind == "ksvqe":
         params, stats = TI.convert_ksvqe_full(sd, clip_layers=clip_layers)
     elif kind == "simplevqa":

@@ -29,14 +29,17 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    for key in ("state_dict", "model", "network"):
+    # model_state: pytorchvideo model-zoo .pyth files (e.g. SLOWFAST_8x8_R50)
+    for key in ("state_dict", "model_state", "model", "network"):
         if isinstance(obj, dict) and key in obj:
             obj = obj[key]
             break
     out = {}
     for k, v in obj.items():
         if hasattr(v, "numpy"):
-            out[k.replace("module.", "")] = v.detach().cpu().numpy()
+            if k.startswith("module."):  # DDP prefix (trainer_ddp.py:74-77)
+                k = k[len("module."):]
+            out[k] = v.detach().cpu().numpy()
     return out
 
 
@@ -120,6 +123,13 @@ def convert_simplevqa_resnet50(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict
 def convert_clip_visual(
     sd: Mapping[str, np.ndarray], n_layers: int = 12, prefix: str = "visual."
 ) -> dict:
+    extra = f"{prefix}transformer.resblocks.{n_layers}.ln_1.weight"
+    if extra in sd:
+        raise ValueError(
+            f"checkpoint has more than {n_layers} visual resblocks "
+            "(deeper CLIP variant?) — pass the tower's true depth via "
+            "n_layers/--clip_layers instead of silently truncating"
+        )
     p: dict = {}
     _set(p, "conv1/kernel", conv2d(sd[prefix + "conv1.weight"]))
     _set(p, "class_embedding", sd[prefix + "class_embedding"])

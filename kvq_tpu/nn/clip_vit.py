@@ -26,6 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .cdm import AdapterMLP
+
 from .layers import trunc_normal_init
 
 
@@ -147,8 +149,6 @@ class CLIPVisionTower(nn.Module):
                 # a named module per adapter — an inline nn.Sequential does
                 # NOT scope its children (they registered as colliding
                 # Dense_N leaves of the tower, breaking checkpoint naming)
-                from .cdm import AdapterMLP
-
                 a = AdapterMLP(
                     self.width,
                     dtype=self.dtype,

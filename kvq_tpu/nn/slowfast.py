@@ -148,7 +148,7 @@ class _Pathway(nn.Module):
             x, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1))
         )
 
-    def stage(self, x, idx, n_blocks, train):
+    def stage(self, x, idx, train):
         for block in self.blocks[idx]:
             x = block(x, train=train)
         return x
@@ -178,17 +178,17 @@ class SlowFastR50(nn.Module):
         )
         s = slow_path.stem(slow.astype(self.dtype), train)
         f = fast_path.stem(fast.astype(self.dtype), train)
-        s = self._fuse(s, f, 0)
-        for i, n in enumerate(self.layers):
-            s = slow_path.stage(s, i, n, train)
-            f = fast_path.stage(f, i, n, train)
+        s = self._fuse(s, f, 0, train)
+        for i in range(len(self.layers)):
+            s = slow_path.stage(s, i, train)
+            f = fast_path.stage(f, i, train)
             if i < len(self.layers) - 1:
-                s = self._fuse(s, f, i + 1)
+                s = self._fuse(s, f, i + 1, train)
         slow_feat = s.astype(jnp.float32).mean(axis=(1, 2, 3))
         fast_feat = f.astype(jnp.float32).mean(axis=(1, 2, 3))
         return slow_feat, fast_feat
 
-    def _fuse(self, s, f, idx):
+    def _fuse(self, s, f, idx, train=False):
         """Fast->slow lateral: (7,1,1) conv stride (alpha,1,1) to
         2*beta*C_fast channels, concatenated onto slow."""
         out_ch = f.shape[-1] * 2
@@ -202,7 +202,7 @@ class SlowFastR50(nn.Module):
             name=f"lateral_{idx}_conv",
         )(f)
         lat = nn.BatchNorm(
-            use_running_average=True, momentum=0.9, epsilon=1e-5,
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=f"lateral_{idx}_bn",
         )(lat)
         lat = nn.relu(lat)
