@@ -11,6 +11,7 @@ Same in-jit-loop timing methodology as bench.py.
 Usage: python tools/profile_train_step.py [B]
 """
 
+import os
 import sys
 import time
 
@@ -32,6 +33,7 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     T = 32
+    remat = os.environ.get("KVQ_REMAT", "1") == "1"
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
     batch = {
@@ -54,7 +56,7 @@ def main():
                         "tuning_stage": 1,
                         "a1": 1,
                         "a2": 2,
-                        "checkpoint": True,  # train: remat on
+                        "checkpoint": remat,  # train: remat on unless KVQ_REMAT=0
                     },
                     "head": {"in_channels": 768, "hidden_channels": 64},
                 }
