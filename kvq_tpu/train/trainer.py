@@ -30,11 +30,6 @@ import flax.serialization as _fser
 
 from ..core import checkpoint as ckpt
 from ..core.config import key_list, model_keys
-
-
-def ser_to_state(opt_state):
-    """optax state -> serializable nested dict."""
-    return _fser.to_state_dict(opt_state)
 from ..core.metrics import vqa_metrics
 from ..core.registry import DATASETS
 from ..data.pipeline import Loader, collate, device_prefetch
@@ -57,6 +52,30 @@ ARRAY_BATCH_KEYS = (
 def array_batch(batch: dict) -> dict:
     """Strip a collated batch to the jit-traceable array fields."""
     return {k: jnp.asarray(batch[k]) for k in ARRAY_BATCH_KEYS if k in batch}
+
+
+def ser_to_state(opt_state):
+    """optax state -> serializable nested dict."""
+    return _fser.to_state_dict(opt_state)
+
+
+def pad_batch_rows(batch: dict, target: int) -> dict:
+    """Pad every leading-batch-dim field to ``target`` rows by repeating the
+    last row.  Keeps the jitted eval signature static on the final partial
+    batch; padded rows are dropped after scoring."""
+    n = int(np.asarray(batch["label"]).reshape(-1).shape[0])
+    if n >= target:
+        return batch
+    pad = target - n
+    out: dict = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n:
+            out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+        elif isinstance(v, list) and len(v) == n:
+            out[k] = v + [v[-1]] * pad
+        else:
+            out[k] = v
+    return out
 
 
 @flax.struct.dataclass
@@ -102,15 +121,28 @@ class Trainer:
         self.val_loader: Loader | None = None
         self._tx = None
         self._mesh_train_step = None
-        self._mesh_eval_model = None
+        self._mesh_eval_step = None
         from ..core.logging import MetricLogger
 
         self.logger = MetricLogger(workdir, str(config.get("name", "train")))
 
     # ------------------------------------------------------------------ data
+    def eval_batch_size(self) -> int:
+        """Videos per eval step.  config['eval_batch_size'] wins; otherwise
+        one video per mesh device (so the mesh eval step shards whole
+        videos), or 1 single-device (reference val batch, trainer.py:123)."""
+        eb = self.config.get("eval_batch_size")
+        if eb:
+            return int(eb)
+        return self.mesh.devices.size if self.mesh is not None else 1
+
     def build_datasets(self) -> None:
         data_cfg = self.config["data"]
         nw = int(self.config.get("num_workers", 6))
+        # per-host shard of the sample list — the DistributedSampler
+        # analog (reference trainer_ddp.py:144,156); single-process this
+        # is (0, 1) = the full list.
+        shard = (jax.process_index(), jax.process_count())
         if "train" in data_cfg:
             ds = DATASETS.get(data_cfg["train"]["type"])(data_cfg["train"]["args"])
             self.train_loader = Loader(
@@ -120,11 +152,16 @@ class Trainer:
                 num_workers=nw,
                 seed=int(self.config.get("seed", 42)),
                 drop_last=True,
+                shard=shard,
             )
         if "val" in data_cfg:
             ds = DATASETS.get(data_cfg["val"]["type"])(data_cfg["val"]["args"])
             self.val_loader = Loader(
-                ds, batch_size=1, shuffle=False, num_workers=nw
+                ds,
+                batch_size=self.eval_batch_size(),
+                shuffle=False,
+                num_workers=nw,
+                shard=shard,
             )
 
     # ----------------------------------------------------------------- model
@@ -211,9 +248,9 @@ class Trainer:
             ema, _ = ckpt.merge_params(self.state.ema_params, loaded["ema_params"])
         opt_state = self.state.opt_state
         if "opt_state" in loaded:
-            import flax.serialization as fser
-
-            opt_state = fser.from_state_dict(self.state.opt_state, loaded["opt_state"])
+            opt_state = _fser.from_state_dict(
+                self.state.opt_state, loaded["opt_state"]
+            )
         self.state = TrainState(
             params=params,
             batch_stats=stats,
@@ -348,15 +385,68 @@ class Trainer:
             last_aux = aux
         return {k: float(v) for k, v in last_aux.items()}
 
+    def _eval_scores(self, params, batch: dict) -> tuple[list, list]:
+        """Score one (possibly padded) eval batch -> per-video preds+labels.
+
+        Batched upgrade over the reference's strictly-sequential batch-1
+        validation (trainer.py:180-214): ``eval_batch_size`` videos fold
+        their clips into one device batch; on a mesh the rows are sharded
+        over devices and XLA's output layout performs the prediction
+        gather (the dist.all_gather analog, trainer_ddp.py:259-267)."""
+        n = int(np.asarray(batch["label"]).reshape(-1).shape[0])
+        eb = self.eval_batch_size()
+        batch = pad_batch_rows(batch, eb)
+        rb = self._reshape_for_clips(batch)
+        ab = array_batch(rb)
+        if self.mesh is not None:
+            from ..parallel import sharding as shd
+            from ..parallel import steps as psteps
+
+            if self._mesh_eval_step is None:
+                self._mesh_eval_step = psteps.make_eval_step(
+                    self.model, self.config, self.mesh
+                )
+            ab = shd.shard_batch(self.mesh, ab)
+            out = self._mesh_eval_step(params, self.state.batch_stats, ab)
+        else:
+            out = self._eval_step(params, self.state.batch_stats, ab)
+        per_video = np.asarray(out).reshape(eb, -1).mean(axis=1)
+        labels = np.asarray(batch["label"], np.float64).reshape(-1)
+        return per_video[:n].tolist(), labels[:n].tolist()
+
+    @staticmethod
+    def _global_gather(values: list[float]) -> list[float]:
+        """Concatenate per-host prediction/label lists across processes
+        (multi-host analog of reference trainer_ddp.py:259-267).  Hosts may
+        hold shard counts differing by one, so pad-to-max then trim."""
+        if jax.process_count() == 1:
+            return values
+        from jax.experimental import multihost_utils as mhu
+
+        n = np.asarray(values).shape[0]
+        counts = np.asarray(mhu.process_allgather(np.asarray([n])))
+        counts = counts.reshape(-1)
+        m = int(counts.max())
+        padded = np.zeros((m,), np.float64)
+        padded[:n] = np.asarray(values, np.float64)
+        gathered = np.asarray(mhu.process_allgather(padded))
+        gathered = gathered.reshape(jax.process_count(), m)
+        return [
+            float(x)
+            for k in range(jax.process_count())
+            for x in gathered[k, : counts[k]]
+        ]
+
     def evaluate(self, use_ema: bool = False) -> tuple:
         assert self.state is not None and self.val_loader is not None
         params = self.state.ema_params if use_ema else self.state.params
         preds, labels = [], []
         for batch in self.val_loader.epoch(0):
-            batch = self._reshape_for_clips(batch)
-            out = self._eval_step(params, self.state.batch_stats, array_batch(batch))
-            preds.append(float(np.mean(np.asarray(out))))
-            labels.append(float(np.asarray(batch["label"]).reshape(-1)[0]))
+            p, l = self._eval_scores(params, batch)
+            preds.extend(p)
+            labels.extend(l)
+        preds = self._global_gather(preds)
+        labels = self._global_gather(labels)
         return vqa_metrics(labels, preds)
 
     def train_eval_all_epoches(self, epoch: int, rng=None):
@@ -410,13 +500,9 @@ class Trainer:
         assert self.state is not None and self.val_loader is not None
         results = []
         for batch in self.val_loader.epoch(0):
-            batch = self._reshape_for_clips(batch)
-            out = self._eval_step(
-                self.state.params, self.state.batch_stats, array_batch(batch)
-            )
-            results.append(
-                (batch["video_name"][0], float(np.mean(np.asarray(out))))
-            )
+            names = batch["video_name"]
+            scores, _ = self._eval_scores(self.state.params, batch)
+            results.extend(zip(names[: len(scores)], scores))
         with open(output_path, "w") as f:
             for name, score in results:
                 f.write(f"{name},{score}\n")
