@@ -57,7 +57,15 @@ class SyntheticVideoSource:
 
 
 class OpenCVVideoSource:
-    """cv2-backed decoder with unique-frame retention.
+    """cv2-backed decoder with decord-parity access cost.
+
+    The reference decodes only the requested unique frames via decord
+    random access (fusion_datasets.py:467-478).  cv2 random seek is
+    unreliable across codecs, so this source scans sequentially — but with
+    the same cost profile: frames that are not requested are ``grab()``-ed
+    (bitstream decode only, no colorspace conversion / copy), requested
+    frames are retrieved and cached, and the scan **stops at the highest
+    requested index** instead of running to EOF.
 
     Short videos are pad-repeated with the last frame to >130 frames to
     match reference fusion_datasets.py:413-415 when ``pad_short`` is set.
@@ -74,7 +82,13 @@ class OpenCVVideoSource:
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         cap.release()
         self._n_raw = max(n, 0)
-        self._frames: np.ndarray | None = None
+        self._cap: "cv2.VideoCapture | None" = None
+        self._pos = 0  # next frame index the open capture would produce
+        self._cache: dict[int, np.ndarray] = {}
+
+    def __del__(self):  # pragma: no cover - destructor best-effort
+        if getattr(self, "_cap", None) is not None:
+            self._cap.release()
 
     def num_frames(self) -> int:
         n = self._n_raw
@@ -82,30 +96,58 @@ class OpenCVVideoSource:
             return self.pad_short + 1
         return n
 
-    def _decode_all(self) -> np.ndarray:
-        cap = cv2.VideoCapture(self.path)
-        frames = []
-        while True:
-            ret, frame = cap.read()
-            if not ret:
+    def _ensure(self, needed: "set[int]") -> None:
+        """Sequential grab/retrieve scan satisfying ``needed`` (sorted),
+        early-stopping at max(needed)."""
+        missing = sorted(i for i in needed if i not in self._cache)
+        if not missing:
+            return
+        if self._cap is None or missing[0] < self._pos:
+            if self._cap is not None:
+                self._cap.release()
+            self._cap = cv2.VideoCapture(self.path)
+            self._pos = 0
+        want = set(missing)
+        stop = missing[-1]
+        while self._pos <= stop:
+            if self._pos in want:
+                ret, frame = self._cap.read()
+                if not ret:
+                    break
+                self._cache[self._pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            elif not self._cap.grab():
                 break
-            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-        cap.release()
-        if not frames:
-            raise IOError(f"no frames decoded from {self.path}")
-        if self.pad_short is not None:
-            while len(frames) <= self.pad_short:
-                frames.append(frames[-1])
-        return np.stack(frames)
+            self._pos += 1
+        else:
+            return
+        # EOF before the metadata frame count (overcounted header): the
+        # true length is self._pos; make sure the real last frame is cached
+        # so out-of-range indices clamp to it like the decode-all path did.
+        self._n_raw = self._pos
+        last = self._n_raw - 1
+        if last >= 0 and last not in self._cache:
+            self._cap.release()
+            self._cap = cv2.VideoCapture(self.path)
+            for _ in range(last):
+                if not self._cap.grab():
+                    break
+            ret, frame = self._cap.read()
+            if ret:
+                self._cache[last] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            self._pos = last + 1
 
     def get_frames(self, indices: np.ndarray) -> np.ndarray:
-        # cv2 random seek is unreliable on many codecs; decode sequentially
-        # up to max(indices) once and cache (per-sample lifetime), mirroring
-        # the reference's decode-each-unique-frame-once strategy.
-        if self._frames is None:
-            self._frames = self._decode_all()
-        idx = np.clip(np.asarray(indices), 0, len(self._frames) - 1)
-        return self._frames[idx]
+        idx = np.clip(
+            np.asarray(indices, np.int64), 0, max(self._n_raw - 1, 0)
+        )
+        self._ensure(set(int(i) for i in np.unique(idx)))
+        if not self._cache:
+            raise IOError(f"no frames decoded from {self.path}")
+        # _ensure may have shrunk _n_raw on a truncated container
+        hi = max(self._cache)
+        return np.stack(
+            [self._cache[min(int(i), hi)] for i in idx]
+        )
 
 
 def open_video(path_or_source, pad_short: int | None = None) -> VideoSource:

@@ -17,6 +17,7 @@
 //
 // Build: see kvq_tpu/runtime/build.sh (plain g++, links OpenCV).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -36,30 +37,70 @@ struct VideoHandle {
   std::string path;
   int n_frames_raw = 0;
   int pad_short = 0;  // pad-repeat to >pad_short frames when shorter
-  // decoded cache (lazy, sequential decode once — cv2 random seek is
-  // unreliable across codecs; mirrors the python OpenCVVideoSource)
-  std::vector<cv::Mat> frames;
-  bool decoded = false;
+  // decord-parity sequential scan state: unrequested frames are grab()-ed
+  // (bitstream decode only — no BGR2RGB conversion or copy), requested
+  // frames are retrieved into the cache, and the scan early-stops at the
+  // highest requested index (reference fusion_datasets.py:467-478
+  // decodes only requested unique frames).
+  cv::VideoCapture cap;
+  bool cap_open = false;
+  int pos = 0;  // next frame index the open capture would produce
+  std::map<int, cv::Mat> cache;
   std::mutex mu;
 };
 
-void decode_all(VideoHandle* h) {
+// Satisfy `want` (sorted unique frame indices) in h->cache, early-stopping
+// at want.back().  Returns false when nothing could be decoded.
+bool ensure_frames(VideoHandle* h, const std::vector<int>& want_in) {
   std::lock_guard<std::mutex> lock(h->mu);
-  if (h->decoded) return;
-  cv::VideoCapture cap(h->path);
-  cv::Mat frame;
-  while (cap.read(frame)) {
-    cv::Mat rgb;
-    cv::cvtColor(frame, rgb, cv::COLOR_BGR2RGB);
-    h->frames.push_back(rgb);
+  std::vector<int> want;
+  for (int i : want_in)
+    if (!h->cache.count(i)) want.push_back(i);
+  if (want.empty()) return !h->cache.empty() || want_in.empty();
+  if (!h->cap_open || want.front() < h->pos) {
+    if (h->cap_open) h->cap.release();
+    h->cap.open(h->path);
+    h->cap_open = h->cap.isOpened();
+    h->pos = 0;
+    if (!h->cap_open) return false;
   }
-  cap.release();
-  if (!h->frames.empty() && h->pad_short > 0) {
-    while ((int)h->frames.size() <= h->pad_short) {
-      h->frames.push_back(h->frames.back());
+  int stop = want.back();
+  size_t wi = 0;
+  bool eof = false;
+  cv::Mat frame;
+  while (h->pos <= stop) {
+    while (wi < want.size() && want[wi] < h->pos) ++wi;
+    bool needed = (wi < want.size() && want[wi] == h->pos);
+    if (needed) {
+      if (!h->cap.read(frame)) { eof = true; break; }
+      cv::Mat rgb;
+      cv::cvtColor(frame, rgb, cv::COLOR_BGR2RGB);
+      h->cache.emplace(h->pos, std::move(rgb));
+    } else if (!h->cap.grab()) {
+      eof = true;
+      break;
+    }
+    h->pos++;
+  }
+  if (eof) {
+    // container metadata overcounted: true length is pos.  Cache the real
+    // last frame so out-of-range indices clamp to it.
+    h->n_frames_raw = h->pos;
+    int last = h->pos - 1;
+    if (last >= 0 && !h->cache.count(last)) {
+      h->cap.release();
+      h->cap.open(h->path);
+      for (int k = 0; k < last; ++k)
+        if (!h->cap.grab()) break;
+      if (h->cap.read(frame)) {
+        cv::Mat rgb;
+        cv::cvtColor(frame, rgb, cv::COLOR_BGR2RGB);
+        h->cache.emplace(last, std::move(rgb));
+      }
+      h->pos = last + 1;
     }
   }
-  h->decoded = true;
+  return !h->cache.empty();
 }
 
 void parallel_for(int n, int n_threads, const std::function<void(int, int)>& fn) {
@@ -117,21 +158,40 @@ int64_t kvq_decode_frames(void* handle, const int32_t* indices, int n,
                           uint8_t* out) {
   auto* h = (VideoHandle*)handle;
   if (!h) return -1;
-  decode_all(h);
-  if (h->frames.empty()) return -1;
-  int H = h->frames[0].rows, W = h->frames[0].cols;
-  size_t frame_bytes = (size_t)H * W * 3;
+  // clamp to metadata range, gather unique sorted wanted indices
+  std::vector<int> want;
+  want.reserve(n);
+  int hi_meta = h->n_frames_raw > 0 ? h->n_frames_raw - 1 : 0;
   for (int i = 0; i < n; ++i) {
     int idx = indices[i];
     if (idx < 0) idx = 0;
-    if (idx >= (int)h->frames.size()) idx = (int)h->frames.size() - 1;
-    std::memcpy(out + (size_t)i * frame_bytes, h->frames[idx].data,
-                frame_bytes);
+    if (idx > hi_meta) idx = hi_meta;
+    want.push_back(idx);
+  }
+  std::vector<int> uniq(want);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  // n == 0 is the bindings' dimension probe: decode just frame 0
+  if (uniq.empty()) uniq.push_back(0);
+  if (!ensure_frames(h, uniq) || h->cache.empty()) return -1;
+  int hi_cached = h->cache.rbegin()->first;
+  const cv::Mat& first = h->cache.begin()->second;
+  int H = first.rows, W = first.cols;
+  size_t frame_bytes = (size_t)H * W * 3;
+  for (int i = 0; i < n; ++i) {
+    int idx = std::min(want[i], hi_cached);
+    auto it = h->cache.find(idx);
+    if (it == h->cache.end()) return -1;
+    std::memcpy(out + (size_t)i * frame_bytes, it->second.data, frame_bytes);
   }
   return ((int64_t)H << 16) | (int64_t)W;
 }
 
-void kvq_close_video(void* handle) { delete (VideoHandle*)handle; }
+void kvq_close_video(void* handle) {
+  auto* h = (VideoHandle*)handle;
+  if (h && h->cap_open) h->cap.release();
+  delete h;
+}
 
 // Fused fragment mosaic + normalize.
 //   video:  (T, H, W, 3) uint8
