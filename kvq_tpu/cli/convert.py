@@ -31,10 +31,19 @@ def parse_args(argv=None):
     p.add_argument("--kind", required=True,
                    choices=["ksvqe", "simplevqa", "swin", "contrique",
                             "clip", "clip_full", "resnet50", "slowfast"])
-    p.add_argument("--src", required=True, help="torch checkpoint path")
+    p.add_argument("--src", help="torch checkpoint path (or use --fetch)")
+    p.add_argument("--fetch", metavar="NAME",
+                   help="download the named pretrained checkpoint "
+                        "(sha256-verified, cached in $KVQ_WEIGHTS_DIR) "
+                        "instead of --src; see kvq_tpu.core.weights")
+    p.add_argument("--no-download", action="store_true",
+                   help="with --fetch: only use an already-cached file")
     p.add_argument("--out", required=True, help="output .ckpt path")
     p.add_argument("--clip_layers", type=int, default=12)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if not args.src and not args.fetch:
+        p.error("one of --src / --fetch is required")
+    return args
 
 
 def convert(kind: str, src: str, clip_layers: int = 12) -> dict:
@@ -66,7 +75,13 @@ def main(argv=None):
     from ..core import checkpoint as ckpt
 
     args = parse_args(argv)
-    state = convert(args.kind, args.src, clip_layers=args.clip_layers)
+    src = args.src
+    if not src:
+        from ..core import weights
+
+        src = weights.fetch(args.fetch, download=not args.no_download)
+        print(f"using {src}")
+    state = convert(args.kind, src, clip_layers=args.clip_layers)
     ckpt.save_checkpoint(args.out, state)
 
     def count(tree):
