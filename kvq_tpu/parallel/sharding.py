@@ -18,22 +18,41 @@ def batch_shardings(mesh: Mesh, batch) -> dict:
     return jax.tree_util.tree_map(lambda _: s, batch)
 
 
-def param_spec(path_str: str, x, fsdp_size: int, min_size: int = 2**16) -> P:
-    """FSDP-style spec: shard the largest divisible axis of big params over
-    'fsdp'; small params replicate.  With fsdp=1 everything replicates."""
+def param_spec(
+    path_str: str,
+    x,
+    fsdp_size: int,
+    min_size: int = 2**17,
+    min_shard: int = 128,
+) -> P:
+    """FSDP-style spec with fsdp-awkward params replicated.
+
+    Shard only params that are worth it: total size >= ``min_size`` AND
+    some axis keeps >= ``min_shard`` elements per shard.  Among eligible
+    axes the largest wins (prefer-last tie-break).  Sharding a short
+    feature axis (e.g. a 128-wide projector output over 8 devices) buys
+    nothing and forces XLA into 'Involuntary full rematerialization'
+    resharding transitions against the batch-sharded activations
+    (MULTICHIP_r01 tail); those params replicate instead.  BatchNorm
+    scales/biases and other small vectors always replicate.
+    """
     if fsdp_size <= 1 or x.size < min_size:
         return P()
     shape = np.shape(x)
-    # prefer the last axis (contraction-friendly for Dense kernels)
+    best = None
     for axis in reversed(range(len(shape))):
-        if shape[axis] % fsdp_size == 0 and shape[axis] >= fsdp_size:
-            spec = [None] * len(shape)
-            spec[axis] = "fsdp"
-            return P(*spec)
-    return P()
+        if shape[axis] % fsdp_size or shape[axis] // fsdp_size < min_shard:
+            continue
+        if best is None or shape[axis] > shape[best]:
+            best = axis
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = "fsdp"
+    return P(*spec)
 
 
-def param_shardings(mesh: Mesh, params, min_size: int = 2**16):
+def param_shardings(mesh: Mesh, params, min_size: int = 2**17):
     fsdp_size = mesh.shape["fsdp"]
 
     def one(path, x):
