@@ -39,9 +39,13 @@ def region_scores(cls_attn, grid_hw: tuple[int, int], k_side: int, stride: int =
     score = cls_attn.reshape(b, s, s)
     gh, gw = grid_hw
     if (s, s) != (gh, gw):
-        # nearest resize (reference F.interpolate mode="nearest",
-        # patchnet.py:476-478)
-        score = jax.image.resize(score, (b, gh, gw), method="nearest")
+        # nearest resize with torch index semantics: src = floor(dst*in/out)
+        # (reference F.interpolate mode="nearest", patchnet.py:476-478;
+        # jax.image.resize 'nearest' uses half-pixel centers and picks
+        # different source rows, e.g. 14->9 row 1 maps to 2 instead of 1)
+        rows = (jnp.arange(gh) * s) // gh
+        cols = (jnp.arange(gw) * s) // gw
+        score = score[:, rows][:, :, cols]
     nh, nw = gh - k_side + 1, gw - k_side + 1
     # region means: sum over each k_side x k_side window via cumulative
     # windows — nh*nw is tiny (9), unroll statically

@@ -23,7 +23,8 @@ def main():
     from kvq_tpu.nn.regionnet import keyframe_schedule
     from kvq_tpu.train.losses import distortion_contrastive_supervised
 
-    B, T = 4, 96
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
     batch = {
