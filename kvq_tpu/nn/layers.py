@@ -94,8 +94,12 @@ class _PatchProj(nn.Module):
         # strided-slice K=pw*C matmuls are 2x faster standalone (6 ms) but
         # the x[:, ti::pt, hi::ph] lowering FAULTS the TPU worker inside
         # the full KSVQE program, and the equivalent statically-indexed
-        # view form is slower end-to-end (25.3 vs 23.1 ms/step).  Keep the
-        # transpose.
+        # view form is slower end-to-end (25.3 vs 23.1 ms/step).  A fused
+        # Pallas patchify+matmul+LN kernel (r2) was rejected by Mosaic
+        # ("infer-vector-layout: unsupported shape cast" — the lane-dim
+        # split Wo*pw*C -> (Wo, pw*C) has no supported vector relayout),
+        # and standalone XLA variants (8-slice einsum, conv) all bottom
+        # out at the same ~10 GB/s relayout.  Keep the transpose.
         w = kernel.reshape(pt * ph * pw * C, self.features).astype(self.dtype)
         return x.astype(self.dtype) @ w + bias.astype(self.dtype)
 

@@ -17,7 +17,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    B, T = 4, 96
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
 
