@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 cv2 = pytest.importorskip("cv2")
 
 

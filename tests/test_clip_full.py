@@ -15,6 +15,8 @@ import torch.nn.functional as F
 from kvq_tpu.core import torch_import as TI
 from kvq_tpu.data.tokenizer import SimpleTokenizer, bytes_to_unicode, tokenize
 from kvq_tpu.nn.clip_model import (
+
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
     CLIP,
     AttentionPool2d,
     CLIPConfig,

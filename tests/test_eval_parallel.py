@@ -11,6 +11,8 @@ from kvq_tpu.data.pipeline import Loader
 from kvq_tpu.parallel.mesh import make_mesh
 from kvq_tpu.train.trainer import Trainer, pad_batch_rows
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 SAMPLE_TYPES = {
     "simpleVQA": dict(
         resize=48, crop=32, clip_len=4, frame_interval=2, t_frag=4, num_clips=1

@@ -10,6 +10,8 @@ import pytest
 from kvq_tpu.nn.ksvqe import KSVQE, KSVQEConfig
 from kvq_tpu.nn.regionnet import keyframe_schedule
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 TINY = KSVQEConfig(
     num_samples=4,
     tuning_stage=1,

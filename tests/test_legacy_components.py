@@ -8,6 +8,10 @@ import numpy as np
 from kvq_tpu.data.fragments import get_spatial_cropped_fragments
 from kvq_tpu.data.samplers import FragmentSampleFrames, SampleFrames
 
+import pytest
+
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 
 def test_fragment_sample_frames_matches_unified():
     rng1 = np.random.default_rng(7)

@@ -8,6 +8,8 @@ import pytest
 
 from kvq_tpu.models.vqa_network import VQANetwork
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 
 def _cfg(key, backbone=None, head=None):
     return {

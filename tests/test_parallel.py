@@ -12,6 +12,8 @@ from kvq_tpu.train import optim
 from kvq_tpu.train.trainer import TrainState, array_batch
 from kvq_tpu.models.vqa_network import VQANetwork
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 
 CFG = {
     "name": "par",

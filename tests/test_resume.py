@@ -6,6 +6,10 @@ import numpy as np
 from kvq_tpu.data.datasets import make_synthetic_opt
 from kvq_tpu.train.trainer import Trainer
 
+import pytest
+
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 SAMPLE_TYPES = {
     "simpleVQA": dict(
         resize=48, crop=32, clip_len=4, frame_interval=2, t_frag=4, num_clips=1

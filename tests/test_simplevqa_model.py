@@ -5,6 +5,8 @@ import pytest
 
 from kvq_tpu.models.vqa_network import VQANetwork
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 CFG = {
     "model": {
         "type": "simpleVQA",

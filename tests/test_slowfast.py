@@ -9,6 +9,10 @@ import numpy as np
 
 from kvq_tpu.nn.slowfast import SlowFastR50, pack_pathways
 
+import pytest
+
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 
 def test_pack_pathways_slow_is_every_4th_frame():
     frames = np.arange(32)[None, :, None, None, None] * np.ones(

@@ -5,6 +5,8 @@ import pytest
 
 from kvq_tpu.nn import swin as S
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 
 def test_get_window_size_clamps():
     assert S.get_window_size((2, 14, 14), (8, 7, 7)) == (2, 7, 7)

@@ -10,6 +10,8 @@ import torch
 from kvq_tpu.core import checkpoint as ckpt
 from kvq_tpu.core import torch_import as TI
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 
 def torch_sd_to_numpy(module):
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}

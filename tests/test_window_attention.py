@@ -13,6 +13,8 @@ import jax.numpy as jnp
 from kvq_tpu.nn import swin as S
 from kvq_tpu.ops.window_attention import WindowGeometry, flash_window_attention
 
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
+
 
 def test_device_gate_matches_numpy():
     for dims, window, shift in [

@@ -1,0 +1,152 @@
+"""Cumulative-cut timing of the KSVQE TRAIN step (fwd+bwd) on TPU.
+
+Extends tools/profile_ksvqe_cuts.py to the training path (VERDICT r1
+item 6): each prefix of the forward graph is differentiated w.r.t. all
+params, so adjacent-cut differences give per-component fwd+bwd marginals.
+Remat on (training default) unless KVQ_REMAT=0.
+
+Usage: python tools/profile_train_cuts.py [B] [T]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kvq_jax_cache")
+
+    from kvq_tpu.nn.ksvqe import KSVQE, ksvqe_config
+    from kvq_tpu.nn.regionnet import keyframe_schedule
+    from kvq_tpu.train.losses import distortion_contrastive_supervised
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    remat = os.environ.get("KVQ_REMAT", "1") == "1"
+    dt = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    batch = {
+        "fragment": jnp.asarray(rng.normal(size=(B, T, 288, 288, 3)), dt),
+        "resize_video": jnp.asarray(rng.normal(size=(B, T, 112, 112, 3)), dt),
+        "dis_label": jnp.asarray([i % 4 for i in range(B)], jnp.int32),
+    }
+    cfg = ksvqe_config(
+        {"num_samples": 1, "sample_type": "topkpertubation",
+         "CLIP_location": 8, "cls_use": True, "tuning_stage": 1,
+         "a1": 1, "a2": 2, "checkpoint": remat}
+    )
+    model = KSVQE(config=cfg, dtype=dt)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.key(0), "qrs": jax.random.key(1)},
+            batch, train=False,
+        )
+    )()
+    jax.block_until_ready(variables)
+
+    def prefix(self, b, key, cut):
+        revideo = b["resize_video"].astype(self.dtype)
+        fragment = b["fragment"].astype(self.dtype)
+        Bq, Tq = fragment.shape[0], fragment.shape[1]
+        keyframes, group_id = keyframe_schedule(Tq)
+        kf = revideo[:, jnp.asarray(keyframes)].reshape(
+            Bq * 4, *revideo.shape[2:]
+        )
+        cls_attn, _ct, pat_tokens = self.CLIP_tool(kf)
+        L = cls_attn.shape[-1]
+        cls_attn = cls_attn.reshape(Bq, 4, L)
+        if cut == "clip":
+            return jnp.sum(cls_attn.astype(jnp.float32))
+        x_sel = self.selector(
+            fragment, cls_attn, group_id, train=True, key=key
+        )
+        if cut == "qrs":
+            return jnp.sum(x_sel.astype(jnp.float32))
+        x = self.patch_embed(x_sel)
+        if cut == "embed":
+            return jnp.sum(x.astype(jnp.float32))
+        dist_in = jax.lax.stop_gradient(x_sel)[:, ::2]
+        dist_tok = self.distortion_tool(dist_in)
+        dist_tok = 0.2 * self.dist_adapter(dist_tok) + 0.8 * dist_tok
+        loss = distortion_contrastive_supervised(dist_tok, b["dis_label"])
+        if cut == "dist":
+            return (
+                jnp.sum(x.astype(jnp.float32)) + loss.astype(jnp.float32)
+            )
+        if cut == "stages":
+            for stage in self.layers:
+                x = stage(x, train=True)
+            return (
+                jnp.sum(x.astype(jnp.float32)) + loss.astype(jnp.float32)
+            )
+        raise ValueError(cut)
+
+    def timed_grad(make_loss, n_rep=3):
+        @jax.jit
+        def g(vs, b, key):
+            def loss_fn(p):
+                return make_loss({"params": p, **{
+                    k: v for k, v in vs.items() if k != "params"
+                }}, b, key)
+
+            l, grads = jax.value_and_grad(loss_fn)(vs["params"])
+            return l + sum(
+                jnp.sum(jnp.abs(x).astype(jnp.float32)) * 0
+                for x in jax.tree_util.tree_leaves(grads)[:1]
+            ) + jnp.sum(jax.tree_util.tree_leaves(grads)[0].astype(jnp.float32)) * 1e-12
+
+        # perturb input each call; force scalar readback
+        float(g(variables, batch, jax.random.key(5)))
+        times = []
+        for i in range(n_rep + 1):
+            b2 = dict(
+                batch,
+                fragment=batch["fragment"] + jnp.bfloat16(1e-3 * (i + 1)),
+            )
+            t0 = time.time()
+            float(g(variables, b2, jax.random.key(6 + i)))
+            times.append(time.time() - t0)
+        return min(times[1:])
+
+    results = {}
+    for cut in ("clip", "qrs", "embed", "dist", "stages"):
+        def make_loss(vs, b, key, c=cut):
+            return model.apply(
+                vs, b, key, c, method=prefix,
+                rngs={"qrs": key, "dropout": jax.random.fold_in(key, 7)},
+            )
+
+        s = timed_grad(make_loss)
+        results[cut] = s
+        print(f"grad through {cut:6s}: {s * 1e3:7.1f} ms", flush=True)
+
+    def full_loss(vs, b, key):
+        feat, dis = model.apply(
+            vs, b, train=True,
+            rngs={"qrs": key, "dropout": jax.random.fold_in(key, 7)},
+        )
+        return jnp.sum(feat.astype(jnp.float32)) + dis.astype(jnp.float32)
+
+    s = timed_grad(full_loss)
+    results["full"] = s
+    print(f"grad full backbone  : {s * 1e3:7.1f} ms", flush=True)
+    print()
+    print(f"CLIP fwd+bwd        : {results['clip'] * 1e3:7.1f} ms")
+    print(f"QRS marginal        : {(results['qrs'] - results['clip']) * 1e3:7.1f} ms")
+    print(f"embed marginal      : {(results['embed'] - results['qrs']) * 1e3:7.1f} ms")
+    print(f"dist marginal       : {(results['dist'] - results['embed']) * 1e3:7.1f} ms")
+    print(f"stages marginal     : {(results['stages'] - results['dist']) * 1e3:7.1f} ms")
+    print(f"CDM marginal        : {(results['full'] - results['stages']) * 1e3:7.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
