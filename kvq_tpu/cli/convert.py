@@ -29,8 +29,9 @@ import argparse
 def parse_args(argv=None):
     p = argparse.ArgumentParser("kvq_tpu convert")
     p.add_argument("--kind", required=True,
-                   choices=["ksvqe", "simplevqa", "swin", "contrique",
-                            "clip", "clip_full", "resnet50", "slowfast"])
+                   choices=["ksvqe", "simplevqa", "swin", "swin2d",
+                            "contrique", "clip", "clip_full", "resnet50",
+                            "slowfast"])
     p.add_argument("--src", help="torch checkpoint path (or use --fetch)")
     p.add_argument("--fetch", metavar="NAME",
                    help="download the named pretrained checkpoint "
@@ -56,6 +57,8 @@ def convert(kind: str, src: str, clip_layers: int = 12) -> dict:
         params, stats = TI.convert_simplevqa_full(sd)
     elif kind == "swin":
         params, stats = TI.convert_swin3d(sd), {}
+    elif kind == "swin2d":
+        params, stats = TI.convert_swin2d(sd), {}
     elif kind == "contrique":
         params, stats = TI.convert_contrique(sd)
     elif kind == "clip":

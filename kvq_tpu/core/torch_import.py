@@ -251,6 +251,57 @@ def convert_swin3d(
     return p
 
 
+def convert_swin2d(
+    sd: Mapping[str, np.ndarray],
+    depths: tuple[int, ...] = (2, 2, 6, 2),
+) -> dict:
+    """timm ``swin_tiny_patch4_window7_224`` state_dict -> ``swin_2d_tiny``
+    params.
+
+    The reference's SwinTransformer2D is the timm trunk with the classifier
+    stripped (swin_backbone.py:1098-1103).  Our 2D model is
+    SwinTransformer3D specialized to depth-1 windows (nn/swin.py
+    ``swin_2d_tiny``), whose (1, 13, 13)-flattened relative-position table
+    coincides exactly with timm's 2D (13, 13) table, and whose
+    PatchMerging concat order matches timm's across both timm generations
+    — so the 3D converter applies after two normalizations:
+
+    * the 2D patch kernel (C, 3, 4, 4) gains a singleton time axis;
+    * timm >= 0.9 attaches the downsample to the *entry* of stage ``i``;
+      the original / video-Swin convention (and ours) is the *exit* of
+      stage ``i - 1`` — shift the key when the new naming is detected.
+
+    Classifier (``head.*``) and buffer keys are dropped (the reference
+    strips them too).
+    """
+    import re
+
+    entry_style = (
+        "layers.0.downsample.reduction.weight" not in sd
+        and any(".downsample." in k for k in sd)
+    )
+    sd2: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if (
+            k.startswith("head.")
+            or k.endswith("relative_position_index")
+            or k.endswith("attn_mask")
+        ):
+            continue
+        if entry_style:
+            m = re.match(r"layers\.(\d+)\.downsample\.(.*)", k)
+            if m:
+                k = f"layers.{int(m.group(1)) - 1}.downsample.{m.group(2)}"
+        sd2[k] = np.asarray(v)
+    w = sd2["patch_embed.proj.weight"]
+    if w.ndim == 4:  # (C_out, 3, 4, 4) -> (C_out, 3, 1, 4, 4)
+        sd2["patch_embed.proj.weight"] = w[:, :, None]
+    return convert_swin3d(
+        sd2, depths=depths, frag_biases=(False,) * len(depths),
+        trunk_key="trunk",
+    )
+
+
 # --------------------------------------------------------------------------
 # Full CLIP (text encoder + either visual tower) -> kvq_tpu.nn.clip_model.CLIP
 

@@ -300,7 +300,15 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
     All weights are VMEM-resident; the (BW, N, C) token tensor makes one
     HBM round trip per block instead of ~10 (LN/qkv/transpose/attn/proj/
     MLP materializations) — stage 0/1 of Swin-T are bandwidth-bound, so
-    this is where the eval time lives."""
+    this is where the eval time lives.
+
+    Measured dead end (r2): a merged-window variant that batched the
+    per-token matmuls (LN/qkv/proj/MLP) across the whole ``group`` as one
+    (G*N, C) matmul — on the theory that ~(4+3h) small per-window matmuls
+    leave the MXU latency-bound — was NOT faster (swin-tiny trunk
+    4x96x224x224: 14.1 ms merged vs 13.8 ms this kernel; stage3
+    regressed 0.3 -> 1.4 ms).  Mosaic already pipelines the per-window
+    matmuls well at these sizes; the fori_loop form keeps VMEM smaller."""
     Dp, Hp, Wp = geo.dims
     wd, wh, ww = geo.window
     sd, sh, sw = geo.shift

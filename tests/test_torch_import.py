@@ -408,3 +408,97 @@ def test_vqa_head_conversion():
         sd["KSVQE_head.fc_hid.weight"].reshape(64, 768).T,
     )
     assert p["fc_last"]["kernel"].shape == (64, 1)
+
+
+def _fake_timm_swin2d_sd(embed_dim, depths, heads, entry_style):
+    """Synthesize a timm swin_tiny-style state dict (tiny geometry).
+
+    ``entry_style=True`` uses timm>=0.9 naming (downsample attached to the
+    entry of stage i); False uses the original/0.6 naming (exit of stage
+    i-1) — convert_swin2d must accept both.
+    """
+    rng = np.random.default_rng(3)
+    f32 = lambda *s: rng.normal(size=s).astype(np.float32)  # noqa: E731
+    sd = {
+        "patch_embed.proj.weight": f32(embed_dim, 3, 4, 4),
+        "patch_embed.proj.bias": f32(embed_dim),
+        "patch_embed.norm.weight": f32(embed_dim),
+        "patch_embed.norm.bias": f32(embed_dim),
+        "norm.weight": f32(embed_dim * 2 ** (len(depths) - 1)),
+        "norm.bias": f32(embed_dim * 2 ** (len(depths) - 1)),
+        "head.weight": f32(10, embed_dim * 2 ** (len(depths) - 1)),
+        "head.bias": f32(10),
+    }
+    for li, depth in enumerate(depths):
+        C = embed_dim * 2**li
+        for b in range(depth):
+            pre = f"layers.{li}.blocks.{b}"
+            sd[f"{pre}.norm1.weight"] = f32(C)
+            sd[f"{pre}.norm1.bias"] = f32(C)
+            sd[f"{pre}.attn.qkv.weight"] = f32(3 * C, C)
+            sd[f"{pre}.attn.qkv.bias"] = f32(3 * C)
+            sd[f"{pre}.attn.proj.weight"] = f32(C, C)
+            sd[f"{pre}.attn.proj.bias"] = f32(C)
+            sd[f"{pre}.attn.relative_position_bias_table"] = f32(
+                169, heads[li]
+            )
+            sd[f"{pre}.attn.relative_position_index"] = np.zeros(
+                (49, 49), np.int64
+            )
+            sd[f"{pre}.norm2.weight"] = f32(C)
+            sd[f"{pre}.norm2.bias"] = f32(C)
+            sd[f"{pre}.mlp.fc1.weight"] = f32(4 * C, C)
+            sd[f"{pre}.mlp.fc1.bias"] = f32(4 * C)
+            sd[f"{pre}.mlp.fc2.weight"] = f32(C, 4 * C)
+            sd[f"{pre}.mlp.fc2.bias"] = f32(C)
+        if li < len(depths) - 1:
+            ds = (f"layers.{li + 1}.downsample" if entry_style
+                  else f"layers.{li}.downsample")
+            sd[f"{ds}.reduction.weight"] = f32(2 * C, 4 * C)
+            sd[f"{ds}.norm.weight"] = f32(4 * C)
+            sd[f"{ds}.norm.bias"] = f32(4 * C)
+    return sd
+
+
+@pytest.mark.parametrize("entry_style", [False, True])
+def test_swin2d_timm_conversion_covers_every_param(entry_style):
+    """convert_swin2d maps a timm-named 2D swin state dict (either timm
+    generation) onto swin_2d_tiny with no missing or misshaped leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.core import torch_import as TI
+    from kvq_tpu.nn.swin import swin_2d_tiny
+
+    depths, heads = (1, 1), (2, 4)
+    model = swin_2d_tiny(
+        embed_dim=8, depths=depths, num_heads=heads, use_checkpoint=False
+    )
+    x = {
+        "technical": jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 2, 56, 56, 3)),
+            jnp.float32,
+        )
+    }
+    variables = model.init(jax.random.key(0), x, train=False)
+
+    sd = _fake_timm_swin2d_sd(8, depths, heads, entry_style)
+    p = TI.convert_swin2d(sd, depths=depths)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_conv = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(p)
+    )
+    missing = []
+    for k, v in flat_ref:
+        ks = jax.tree_util.keystr(k)
+        got = flat_conv.pop(ks, None)
+        if got is None or got.shape != v.shape:
+            missing.append((ks, None if got is None else got.shape, v.shape))
+    assert not missing, f"missing/misshaped: {missing[:8]}"
+    assert not flat_conv, f"extra converted leaves: {list(flat_conv)[:8]}"
+
+    # converted weights actually load
+    out = model.apply({"params": p}, x, train=False)
+    assert np.isfinite(np.asarray(out)).all()
