@@ -28,8 +28,14 @@ import numpy as np
 # kernels => ~2-4 videos/s.  Point estimate:
 A100_REFERENCE_VIDEOS_PER_SEC = 3.0
 
+# Analytic model FLOPs per 96-frame video (same derivation as above:
+# Swin-T-3D ~264 GF + CONTRIQUE ~200 GF + CLIP keyframes ~18 GF + CDM/QRS
+# small) — used for the MFU line.  v5e bf16 peak: 197 TFLOP/s.
+TFLOP_PER_VIDEO = 0.5
+V5E_PEAK_TFLOPS = 197.0
 
-def make_model_and_batch(B, T, jnp, jax):
+
+def make_model_and_batch(B, T, jnp, jax, checkpoint=False):
     from kvq_tpu.models.vqa_network import VQANetwork
 
     config = {
@@ -46,7 +52,8 @@ def make_model_and_batch(B, T, jnp, jax):
                         "tuning_stage": 1,
                         "a1": 1,
                         "a2": 2,
-                        "checkpoint": False,  # eval: no remat needed
+                        # eval: no remat needed; train: remat on
+                        "checkpoint": checkpoint,
                         "use_pallas": True,
                     },
                     "head": {"in_channels": 768, "hidden_channels": 64},
@@ -127,6 +134,82 @@ def measure(B, T=96, reps=3):
     return B / step_s, step_s, init_s, compile_s
 
 
+def measure_train(B=4, T=32, reps=4):
+    """Full train step (KSVQE fwd+bwd, AdamW, EMA, remat on) — single-step
+    calls with perturbed inputs (a multi-step in-jit loop OOMs HBM: each
+    unrolled step keeps its remat activations live).  The ~30 ms call
+    overhead is small against a ~300 ms step."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from kvq_tpu.models.vqa_network import VQANetwork
+    from kvq_tpu.train.losses import plcc_loss
+    from kvq_tpu.train.optim import build_optimizer, ema_update
+
+    model, batch = make_model_and_batch(B, T, jnp, jax, checkpoint=True)
+    config = model.config
+    batch = dict(
+        batch,
+        dis_label=jnp.asarray([i % 4 for i in range(B)], jnp.int32),
+        label=jnp.asarray(
+            np.random.default_rng(1).normal(size=(B,)), jnp.float32
+        ),
+    )
+    rngs = {
+        "params": jax.random.key(0),
+        "qrs": jax.random.key(1),
+        "dropout": jax.random.key(2),
+    }
+    variables = jax.jit(lambda: model.init(rngs, batch, train=True))()
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(
+        params, lr=3e-5, weight_decay=0.05, warmup_iters=50, max_iters=1000
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, ema_params, opt_state, b, key):
+        k1, k2 = jax.random.split(key)
+
+        def loss_fn(p):
+            out = VQANetwork(config=config).apply(
+                {"params": p, **(
+                    {"batch_stats": batch_stats} if batch_stats else {}
+                )},
+                b, train=True, reduce_scores=True,
+                rngs={"qrs": k1, "dropout": k2},
+            )
+            scores, dis_loss = out
+            return (plcc_loss(scores, b["label"]) + 0.3 * dis_loss).astype(
+                jnp.float32
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = ema_update(ema_params, params, 0.999)
+        return params, ema_params, opt_state, loss
+
+    ema = jax.tree_util.tree_map(lambda t: t, params)
+    out = step(params, ema, opt_state, batch, jax.random.key(3))
+    float(out[3])
+    times = []
+    for i in range(reps):
+        b2 = dict(
+            batch, fragment=batch["fragment"] + jnp.bfloat16((i + 1) * 1e-3)
+        )
+        t0 = time.time()
+        out = step(params, ema, opt_state, b2, jax.random.key(10 + i))
+        float(out[3])
+        times.append(time.time() - t0)
+    step_s = min(times[1:])  # first post-compile call pays layout warmup
+    return B / step_s, step_s
+
+
 def main():
     import jax
 
@@ -143,6 +226,8 @@ def main():
         if vps > best[0]:
             best = (vps, B)
 
+    train_vps, train_step_s = measure_train()
+
     videos_per_sec, bestB = best
     result = {
         "metric": "KSVQE eval videos/sec/chip (96-frame KVQ val workload)",
@@ -153,7 +238,17 @@ def main():
             "device": str(jax.devices()[0]),
             "frames": 96,
             "best_batch": bestB,
+            "mfu_pct": round(
+                100 * videos_per_sec * TFLOP_PER_VIDEO / V5E_PEAK_TFLOPS, 1
+            ),
             "sweep": results,
+            "train": {
+                "videos_per_sec": round(train_vps, 2),
+                "step_ms": round(train_step_s * 1000, 1),
+                "batch": 4,
+                "frames": 32,
+                "note": "fwd+bwd, AdamW+EMA, remat on",
+            },
             "baseline_note": (
                 "reference publishes no numbers; vs est. "
                 f"{A100_REFERENCE_VIDEOS_PER_SEC} videos/s torch-eager A100"
