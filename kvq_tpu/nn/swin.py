@@ -450,13 +450,24 @@ class SwinBlock3D(nn.Module):
 
         N = window[0] * window[1] * window[2]
         no_pad = D % window[0] == 0 and H % window[1] == 0 and W % window[2] == 0
-        # The fused kernel's VMEM residents: fp32 bias plane(s), bf16 block
-        # weights (qkv+proj+4x MLP), double-buffered token tiles (mirrors
-        # the G selection in fused_swin_block), plus ~1 MB of reused
-        # scratch (empirical: Mosaic reported 18.4 MB at C=384/h=12 with
-        # two planes = planes 14.7 + weights 3.5 + tiles).  The kernel
+        # The fused kernel's VMEM residents: fp32 rel/frag bias planes plus
+        # the per-pattern bias cache (see ops.window_attention
+        # _plan_bias_cache), bf16 block weights (qkv+proj+4x MLP),
+        # double-buffered token tiles (mirrors the G selection in
+        # fused_swin_block), plus ~1 MB of reused scratch.  The kernel
         # raises Mosaic's scoped-VMEM ceiling to 100 MB (v5e has 128 MB);
         # gate with headroom for compiler temporaries.
+        from ..ops.window_attention import WindowGeometry, _plan_bias_cache
+
+        probe = WindowGeometry(
+            batch=B, dims=(D, H, W), window=window, shift=shift,
+            fragments=(1, self.fragments_hw, self.fragments_hw),
+            num_heads=self.num_heads, head_dim=C // self.num_heads,
+            use_frag=self.frag_bias,
+        )
+        _, _, cache_pats = _plan_bias_cache(probe)
+        if not (self.frag_bias or shift[1] or shift[2]):
+            cache_pats = 0  # kernel reads the rel plane directly, no cache
         hidden = int(C * self.mlp_ratio)
         per_window = 2 * N * C * 2
         g_tiles = next(
@@ -465,7 +476,8 @@ class SwinBlock3D(nn.Module):
             per_window,
         )
         vmem_est = (
-            (1 + int(self.frag_bias)) * self.num_heads * N * N * 4
+            (1 + int(self.frag_bias) + cache_pats)
+            * self.num_heads * N * N * 4
             + (4 * C * C + 2 * C * hidden) * 2
             + g_tiles
             + 1024 * 1024

@@ -290,17 +290,65 @@ def flash_window_attention_packed(
 # ---------------------------------------------------------------------------
 # Fully fused Swin block kernel (eval path, small-head stages)
 
+# VMEM budget for the per-pattern bias cache; module-level so tests can
+# shrink it to force the pattern-major grid on small geometries.
+BIAS_CACHE_BUDGET = 40 * 1024 * 1024
+
+
+def _plan_bias_cache(geo: WindowGeometry):
+    """Decide the pattern-bias caching strategy for the fused block kernel.
+
+    The fragment gate and the h/w-axis seam mask depend only on the
+    window's (h_idx, w_idx) *pattern* — never on the batch or the d-axis
+    position (the d fragment count is 1, and the d seam reduces to one
+    extra additive mask on last-d windows).  So the gate-blended bias only
+    takes P = Hw*Ww distinct values; reconstructing it per *window
+    instance* (B*Dw*P of them) — as the r1 kernel did — wastes
+    VPU time that measured 4.6 ms/block at stage 0 (B=4, T=96).
+
+    Returns (p_eff, mode, pb):
+      p_eff  -- number of distinct bias patterns (1 when the bias is
+                pattern-independent: unfragmented and h/w-unshifted)
+      mode   -- 'resident': all p_eff patterns cached in VMEM scratch,
+                1-D grid over window chunks (also the no-cache case)
+                'major': 2-D grid (P/pb, B*Dw) with the pattern-chunk as
+                the SLOW axis — each pb-pattern cache slab is filled once
+                and reused across the whole batch*depth sweep
+      pb     -- cache slab depth (patterns held in VMEM at once)
+    """
+    _, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    sd, sh, sw = geo.shift
+    n = geo.n_tokens
+    p_eff = P if (geo.use_frag or sh or sw) else 1
+    bpp = geo.num_heads * n * n * 4  # one fp32 (h, N, N) bias slab
+    budget = BIAS_CACHE_BUDGET
+    if p_eff * bpp <= budget:
+        return p_eff, "resident", p_eff
+    for g in (8, 4, 2, 1):
+        if p_eff % g == 0 and g * bpp <= budget:
+            return p_eff, "major", g
+    return p_eff, "major", 1
+
 
 def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
-                       C: int, hidden: int, eps: float = 1e-6):
+                       C: int, hidden: int, mode: str, p_eff: int,
+                       pb: int, eps: float = 1e-6):
     """One grid step = `group` windows through the ENTIRE Swin block:
-    LN1 -> qkv -> per-head attention (bias mix + seam mask in-kernel) ->
-    proj -> +residual -> LN2 -> MLP(GELU) -> +residual.
+    LN1 -> qkv -> per-head attention -> proj -> +residual -> LN2 ->
+    MLP(GELU) -> +residual.
 
     All weights are VMEM-resident; the (BW, N, C) token tensor makes one
     HBM round trip per block instead of ~10 (LN/qkv/transpose/attn/proj/
     MLP materializations) — stage 0/1 of Swin-T are bandwidth-bound, so
     this is where the eval time lives.
+
+    Bias handling (see :func:`_plan_bias_cache`): the gate-blended
+    rel/frag bias with the h/w seam folded in is built ONCE per pattern
+    into a persistent VMEM scratch cache and re-read by every window
+    instance of that pattern; the d-axis seam is one extra
+    ``dflag * maskd`` FMA on last-d windows only.  Softmax normalization
+    is deferred past the p@v matmul ((N, hd) divides instead of (N, N)).
 
     Measured dead end (r2): a merged-window variant that batched the
     per-token matmuls (LN/qkv/proj/MLP) across the whole ``group`` as one
@@ -315,22 +363,78 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
     fd, fh, fw = geo.fragments
     Dw, Hw, Ww = geo.wgrid
     P = Hw * Ww
-    shifted = any(geo.shift)
     use_frag = geo.use_frag
     h = geo.num_heads
     hd = geo.head_dim
+    hw_shifted = bool(sh or sw)
+    d_seam = bool(sd)
+    need_cache = use_frag or hw_shifted
+    if use_frag and fd > 1 and Dw > 1:
+        raise NotImplementedError(
+            "d-axis fragment grids >1 with multiple d windows"
+        )
 
     def kernel(x_ref, n1s_ref, n1b_ref, qkvw_ref, qkvb_ref,
                projw_ref, projb_ref, n2s_ref, n2b_ref,
                fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
                relb_ref, *rest):
-        # the frag-bias plane is only an operand when use_frag — passing a
-        # zeros plane otherwise doubles the kernel's VMEM bias footprint
-        if use_frag:
-            fragb_ref, out_ref = rest
+        rest = list(rest)
+        fragb_ref = rest.pop(0) if use_frag else None
+        maskd_ref = rest.pop(0) if d_seam else None
+        out_ref = rest.pop(0)
+        cache_ref = rest.pop(0) if need_cache else None
+
+        if mode == "major":
+            pc = pl.program_id(0)
+            bd = pl.program_id(1)
+            dlast = jax.lax.rem(bd, Dw) == Dw - 1
         else:
-            (out_ref,) = rest
-        chunk = pl.program_id(0)
+            chunk = pl.program_id(0)
+
+        def build_bias(slot, pat):
+            """Blend rel/frag by the fragment gate and fold the h/w seam
+            for window pattern ``pat`` into cache slab ``slot``."""
+            h_idx = pat // Ww
+            w_idx = jax.lax.rem(pat, Ww)
+            gd, gh, gw = _coord_vectors(geo, 0, h_idx, w_idx)
+            if use_frag:
+                fhi = _fragment_ids(gh, sh, Hp, fh)
+                fwi = _fragment_ids(gw, sw, Wp, fw)
+                gate = (jnp.abs(fhi - fhi.T) + jnp.abs(fwi - fwi.T))
+                if fd > 1:  # single d window: fold its gate term too
+                    fdi = _fragment_ids(gd, sd, Dp, fd)
+                    gate = gate + jnp.abs(fdi - fdi.T)
+                gate = gate.astype(jnp.float32)
+            if hw_shifted:
+                segh = _segment_ids(gh, wh, sh, Hp)
+                segw = _segment_ids(gw, ww, sw, Wp)
+                seam = jnp.logical_and(segh == segh.T, segw == segw.T)
+            for hh in range(h):
+                if use_frag:
+                    b = relb_ref[hh] * gate + fragb_ref[hh] * (1.0 - gate)
+                else:
+                    b = relb_ref[hh] + jnp.float32(0.0)
+                if hw_shifted:
+                    b = jnp.where(seam, b, b - 100.0)
+                cache_ref[slot, hh] = b
+
+        if need_cache:
+            if mode == "major":
+                first = pl.program_id(1) == 0
+
+                def fill(i, _):
+                    build_bias(i, pc * pb + i)
+                    return 0
+            else:
+                first = pl.program_id(0) == 0
+
+                def fill(i, _):
+                    build_bias(i, i)
+                    return 0
+
+            @pl.when(first)
+            def _():
+                jax.lax.fori_loop(0, pb, fill, 0)
 
         def ln(xx, s_ref, b_ref):
             # flax LayerNorm's exact formulation: var = mean(x^2) - mean(x)^2
@@ -344,28 +448,15 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
             )
 
         def body(g, _):
-            w = chunk * group + g
-            pat = jax.lax.rem(w, P)
-            d_idx = jax.lax.rem(w // P, Dw)
-            h_idx = pat // Ww
-            w_idx = jax.lax.rem(pat, Ww)
-            gd, gh, gw = _coord_vectors(geo, d_idx, h_idx, w_idx)
-
-            if use_frag:
-                fdi = _fragment_ids(gd, sd, Dp, fd)
-                fhi = _fragment_ids(gh, sh, Hp, fh)
-                fwi = _fragment_ids(gw, sw, Wp, fw)
-                gate = (
-                    jnp.abs(fdi - fdi.T)
-                    + jnp.abs(fhi - fhi.T)
-                    + jnp.abs(fwi - fwi.T)
-                ).astype(jnp.float32)
-            if shifted:
-                segd = _segment_ids(gd, wd, sd, Dp)
-                segh = _segment_ids(gh, wh, sh, Hp)
-                segw = _segment_ids(gw, ww, sw, Wp)
-                seg = segd * 9 + segh * 3 + segw
-                seam = seg == seg.T
+            if mode == "major":
+                slot = g  # chunk = pb consecutive patterns at one (b, d)
+                dflag = dlast
+            else:
+                w = chunk * group + g
+                slot = jax.lax.rem(w, P) if p_eff > 1 else 0
+                dflag = jax.lax.rem(w // P, Dw) == Dw - 1
+            if d_seam:
+                dmul = jnp.where(dflag, jnp.float32(1.0), jnp.float32(0.0))
 
             xw = x_ref[g]  # (N, C)
             y = ln(xw, n1s_ref, n1b_ref).astype(xw.dtype)
@@ -388,22 +479,23 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * scale
-                if use_frag:
-                    bias = relb_ref[hh] * gate + fragb_ref[hh] * (1.0 - gate)
+                if need_cache:
+                    s = s + cache_ref[slot, hh]
                 else:
-                    bias = relb_ref[hh]
-                s = s + bias
-                if shifted:
-                    s = jnp.where(seam, s, s - 100.0)
+                    s = s + relb_ref[hh]
+                if d_seam:
+                    s = s + dmul * maskd_ref[...]
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                # deferred normalization: divide the (N, hd) p@v result
+                # instead of the (N, N) probabilities
+                r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
                 outs.append(
-                    jax.lax.dot_general(
+                    (jax.lax.dot_general(
                         p.astype(v.dtype), v,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ).astype(xw.dtype)
+                    ) * r).astype(xw.dtype)
                 )
             att = jnp.concatenate(outs, axis=-1)  # (N, C)
             att = (
@@ -479,27 +571,52 @@ def fused_swin_block(
     assert (frag_bias is not None) == geo.use_frag
 
     hidden = params["fc1_w"].shape[1]
-    # group: qkv (N,3C) + hidden (N,4C) + s/p (N,N) fp32 are per-window
-    # scratch; x tiles are G*N*C*2.  Budget conservatively.
-    budget = 4 * 1024 * 1024
-    per_window = 2 * N * C * x.dtype.itemsize
-    G = 1
-    for g in (8, 4, 2, 1):
-        if BW % g == 0 and g * per_window <= budget:
-            G = g
-            break
+    Dw, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    sd = geo.shift[0]
+    d_seam = bool(sd)
+    p_eff, mode, pb = _plan_bias_cache(geo)
+    need_cache = geo.use_frag or bool(geo.shift[1] or geo.shift[2])
 
-    kernel = _make_block_kernel(geo, float(scale), G, C, hidden)
-    grid = (BW // G,)
+    if mode == "major":
+        # pattern-major 2-D grid: the slow axis walks pattern chunks, the
+        # fast axis the B*Dw window instances of those patterns — so each
+        # bias-cache slab is filled once and reused across the whole sweep
+        G = pb
+        grid = (P // pb, BW // P)
 
-    def tile_map(chunk):
-        return (chunk, 0, 0)
+        def tile_map(pc, bd):
+            return (bd * (P // pb) + pc, 0, 0)
 
-    def const_map(chunk):
-        return (0, 0)
+        def const_map(pc, bd):
+            return (0, 0)
 
-    def full_map(chunk):
-        return (0, 0, 0)
+        def full_map(pc, bd):
+            return (0, 0, 0)
+    else:
+        # group: qkv (N,3C) + hidden (N,4C) + s/p (N,N) fp32 are per-window
+        # scratch; x tiles are G*N*C*2.  Budget conservatively.
+        budget = 4 * 1024 * 1024
+        per_window = 2 * N * C * x.dtype.itemsize
+        G = 1
+        for g in (8, 4, 2, 1):
+            if BW % g == 0 and g * per_window <= budget:
+                G = g
+                break
+        grid = (BW // G,)
+
+        def tile_map(chunk):
+            return (chunk, 0, 0)
+
+        def const_map(chunk):
+            return (0, 0)
+
+        def full_map(chunk):
+            return (0, 0, 0)
+
+    kernel = _make_block_kernel(
+        geo, float(scale), G, C, hidden, mode, p_eff, pb
+    )
 
     def vec(p):  # (C,) -> (1, C) so Mosaic gets a 2-D block
         return p.reshape(1, -1)
@@ -528,6 +645,9 @@ def fused_swin_block(
     if geo.use_frag:
         args.append(frag_bias)
         in_specs.append(bias_spec(frag_bias))
+    if d_seam:
+        args.append(_d_seam_mask(geo))
+        in_specs.append(mat_spec(args[-1]))
     n_planes = 1 + int(geo.use_frag)
     out = pl.pallas_call(
         kernel,
@@ -535,6 +655,9 @@ def fused_swin_block(
         in_specs=in_specs,
         out_specs=spec_x,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((pb, h, N, N), jnp.float32)] if need_cache else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * BW * N * (3 * C * C + 2 * N * hd * h + C * C
                                 + 2 * C * hidden),
@@ -543,11 +666,39 @@ def fused_swin_block(
             transcendentals=BW * (h * N * N + N * hidden),
         ),
         # Raise Mosaic's scoped-VMEM ceiling (default 16 MB) so the fp32
-        # bias planes of the wide stages (12/24 heads, with fragment bias)
-        # stay VMEM-resident; v5e/v5p have 128 MB VMEM per core.
+        # bias cache of the wide stages (12/24 heads, with fragment bias)
+        # stays VMEM-resident; v5e/v5p have 128 MB VMEM per core.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(*args)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _d_seam_mask_np(dims, window, shift, n, whww):
+    import numpy as np
+
+    Dp, wd, sd = dims[0], window[0], shift[0]
+    Dw = Dp // wd
+    od = np.arange(n) // whww
+    gd = (Dw - 1) * wd + od
+    seg = np.where(gd < Dp - wd, 0, np.where(gd < Dp - sd, 1, 2))
+    return np.where(
+        seg[:, None] != seg[None, :], -100.0, 0.0
+    ).astype(np.float32)
+
+
+def _d_seam_mask(geo: WindowGeometry):
+    """(N, N) additive seam mask of the d axis for LAST-d windows (the only
+    windows whose d-axis seam is nontrivial; earlier windows have a uniform
+    d segment).  Applied in-kernel as ``dflag * maskd`` — pairs already
+    h/w-masked get -200 instead of -100, which is identical post-softmax
+    (exp(-100) ~ 4e-44 is zero against unit-scale logits in fp32)."""
+    wh, ww = geo.window[1], geo.window[2]
+    return jnp.asarray(
+        _d_seam_mask_np(
+            geo.dims, geo.window, geo.shift, geo.n_tokens, wh * ww
+        )
+    )

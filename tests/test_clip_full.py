@@ -15,8 +15,6 @@ import torch.nn.functional as F
 from kvq_tpu.core import torch_import as TI
 from kvq_tpu.data.tokenizer import SimpleTokenizer, bytes_to_unicode, tokenize
 from kvq_tpu.nn.clip_model import (
-
-pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
     CLIP,
     AttentionPool2d,
     CLIPConfig,
@@ -24,6 +22,8 @@ pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
     TextTransformer,
     clip_config_from_state_dict,
 )
+
+pytestmark = pytest.mark.slow  # model-assembly/e2e: minutes on small hosts
 
 
 # --------------------------------------------------------------------------

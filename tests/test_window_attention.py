@@ -162,3 +162,58 @@ def test_swin_pallas_flag_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(out_xla), np.asarray(out_pal), atol=2e-4, rtol=1e-3
     )
+
+
+def test_fused_block_major_mode_matches_resident():
+    """Force the pattern-major 2-D grid (normally only reached at real eval
+    shapes where P*h*N*N*4 exceeds the cache budget) and check it against
+    the resident-mode output on identical inputs."""
+    import kvq_tpu.ops.window_attention as WA
+
+    dims, window = (4, 28, 28), (2, 7, 7)
+    B, h, C = 2, 2, 16
+    N = 2 * 7 * 7
+    nW = (dims[0] // 2) * (dims[1] // 7) * (dims[2] // 7)
+    rng = np.random.default_rng(3)
+    hidden = 4 * C
+    params = {
+        "norm1_scale": jnp.ones((C,), jnp.float32),
+        "norm1_bias": jnp.zeros((C,), jnp.float32),
+        "qkv_w": jnp.asarray(rng.normal(size=(C, 3 * C), scale=0.1), jnp.float32),
+        "qkv_b": jnp.zeros((3 * C,), jnp.float32),
+        "proj_w": jnp.asarray(rng.normal(size=(C, C), scale=0.1), jnp.float32),
+        "proj_b": jnp.zeros((C,), jnp.float32),
+        "norm2_scale": jnp.ones((C,), jnp.float32),
+        "norm2_bias": jnp.zeros((C,), jnp.float32),
+        "fc1_w": jnp.asarray(rng.normal(size=(C, hidden), scale=0.1), jnp.float32),
+        "fc1_b": jnp.zeros((hidden,), jnp.float32),
+        "fc2_w": jnp.asarray(rng.normal(size=(hidden, C), scale=0.1), jnp.float32),
+        "fc2_b": jnp.zeros((C,), jnp.float32),
+    }
+    rel = jnp.asarray(rng.normal(size=(h, N, N)), jnp.float32)
+    frag = jnp.asarray(rng.normal(size=(h, N, N)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B * nW, N, C)), jnp.float32)
+
+    for shift in [(0, 0, 0), (1, 3, 3)]:
+        geo = WindowGeometry(
+            batch=B, dims=dims, window=window, shift=shift,
+            fragments=(1, 7, 7), num_heads=h, head_dim=C // h,
+            use_frag=True,
+        )
+        from kvq_tpu.ops.window_attention import fused_swin_block
+
+        p_eff, mode, _ = WA._plan_bias_cache(geo)
+        assert mode == "resident" and p_eff == 16
+        ref = np.asarray(
+            fused_swin_block(x, params, rel, frag, geo, interpret=True)
+        )
+        old = WA.BIAS_CACHE_BUDGET
+        WA.BIAS_CACHE_BUDGET = 8 * h * N * N * 4  # cache 8 of 16 patterns
+        try:
+            assert WA._plan_bias_cache(geo)[1] == "major"
+            out = np.asarray(
+                fused_swin_block(x, params, rel, frag, geo, interpret=True)
+            )
+        finally:
+            WA.BIAS_CACHE_BUDGET = old
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
