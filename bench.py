@@ -147,7 +147,11 @@ def measure_train(B=4, T=32, reps=4):
 
     from kvq_tpu.models.vqa_network import VQANetwork
     from kvq_tpu.train.losses import plcc_loss
-    from kvq_tpu.train.optim import build_optimizer, ema_update
+    from kvq_tpu.train.optim import (
+        KSVQE_FROZEN_PATTERNS,
+        build_optimizer,
+        ema_update,
+    )
 
     model, batch = make_model_and_batch(B, T, jnp, jax, checkpoint=True)
     config = model.config
@@ -167,7 +171,8 @@ def measure_train(B=4, T=32, reps=4):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = build_optimizer(
-        params, lr=3e-5, weight_decay=0.05, warmup_iters=50, max_iters=1000
+        params, lr=3e-5, weight_decay=0.05, warmup_iters=50, max_iters=1000,
+        frozen_patterns=KSVQE_FROZEN_PATTERNS,
     )
     opt_state = tx.init(params)
 

@@ -83,22 +83,32 @@ def build_optimizer(
         eps=1e-8,
         weight_decay=weight_decay,
     )
-    chain = [tx]
+    if frozen_patterns:
+        # Mask adamw itself to the trainable subtree (not merely the final
+        # update): if adamw consumed the frozen-leaf gradients for moment
+        # updates, XLA could not dead-code-eliminate the backward pass
+        # through the frozen towers — the reference never computes those
+        # gradients at all (requires_grad=False prunes torch autograd,
+        # CLIP_backbone.py:141-154, KSVQE_model.py:1085-1086).  With the
+        # frozen leaves bypassing adamw and then being set_to_zero, their
+        # gradients are dead values and the frozen-tower backward (full
+        # CLIP below the adapters, CONTRIQUE) compiles away entirely.
+        mask = trainable_mask(params, frozen_patterns)
+        chain = [
+            optax.masked(tx, mask),
+            optax.masked(
+                optax.set_to_zero(),
+                jax.tree_util.tree_map(lambda t: not t, mask),
+            ),
+        ]
+    else:
+        chain = [tx]
     if backbone_lr_mult != 1.0:
         bb_mask = backbone_lr_mask(params)
         chain.append(
             optax.masked(optax.scale(backbone_lr_mult), bb_mask)
         )
-    if frozen_patterns:
-        mask = trainable_mask(params, frozen_patterns)
-        # zero updates for frozen params (keeps tree structure stable)
-        chain.append(
-            optax.masked(
-                optax.set_to_zero(),
-                jax.tree_util.tree_map(lambda t: not t, mask),
-            )
-        )
-    return optax.chain(*chain) if len(chain) > 1 else tx
+    return optax.chain(*chain) if len(chain) > 1 else chain[0]
 
 
 def ema_update(ema_params, params, decay: float = 0.999):
