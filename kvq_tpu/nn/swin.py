@@ -311,6 +311,21 @@ class WindowAttention3D(nn.Module):
                 scale=scale,
             )
             out = out.reshape(B, nW, h, N, hd)
+        elif geometry is not None and self.attn_drop == 0.0:
+            # training: differentiable flash kernel (custom_vjp) — the XLA
+            # composition materializes (B*nW, h, N, N) scores to HBM in
+            # fwd and (with remat) twice more in bwd
+            from ..ops.window_attention import window_attention_train
+
+            qkv5 = qkv.reshape(B * nW, N, 3, h, hd).transpose(0, 2, 3, 1, 4)
+            out = window_attention_train(
+                qkv5[:, 0], qkv5[:, 1], qkv5[:, 2],
+                rel_bias.astype(jnp.float32),
+                None if frag_planes is None else frag_planes.astype(jnp.float32),
+                geometry,
+                scale=scale,
+            )
+            out = out.reshape(B, nW, h, N, hd)
         else:
             qkv = qkv.reshape(B, nW, N, 3, h, hd)
             q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,h,hd)
@@ -512,7 +527,11 @@ class SwinBlock3D(nn.Module):
 
             geometry = None
             mask_j = fgate_j = None
-            if self.use_pallas and not train:
+            if (
+                self.use_pallas
+                and (not train or self.attn_drop == 0.0)
+                and _pallas_backend_ok()
+            ):
                 from ..ops.window_attention import WindowGeometry
 
                 geometry = WindowGeometry(

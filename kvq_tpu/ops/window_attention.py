@@ -87,6 +87,35 @@ def _segment_ids(g, window, shift, dim):
     return seg
 
 
+def _pattern_gate_seam(geo: WindowGeometry, pat):
+    """Fragment gate and h/w seam for window pattern ``pat`` (= h_idx*Ww +
+    w_idx; both are independent of the batch and d-axis window position —
+    the d fragment count is 1 and the d seam is handled separately).
+    Returns (gate (N,N) f32 or None, seam_ok (N,N) bool or None)."""
+    Dp, Hp, Wp = geo.dims
+    sd, sh, sw = geo.shift
+    fd, fh, fw = geo.fragments
+    _, _, Ww = geo.wgrid
+    wh, ww = geo.window[1], geo.window[2]
+    h_idx = pat // Ww
+    w_idx = jax.lax.rem(pat, Ww)
+    gd, gh, gw = _coord_vectors(geo, 0, h_idx, w_idx)
+    gate = seam = None
+    if geo.use_frag:
+        fhi = _fragment_ids(gh, sh, Hp, fh)
+        fwi = _fragment_ids(gw, sw, Wp, fw)
+        gate = jnp.abs(fhi - fhi.T) + jnp.abs(fwi - fwi.T)
+        if fd > 1:  # single d window: fold its gate term too
+            fdi = _fragment_ids(gd, sd, Dp, fd)
+            gate = gate + jnp.abs(fdi - fdi.T)
+        gate = gate.astype(jnp.float32)
+    if sh or sw:
+        segh = _segment_ids(gh, wh, sh, Hp)
+        segw = _segment_ids(gw, ww, sw, Wp)
+        seam = jnp.logical_and(segh == segh.T, segw == segw.T)
+    return gate, seam
+
+
 def _make_kernel(geo: WindowGeometry, scale: float, group: int):
     """Kernel processing ``group`` consecutive windows (one head) per grid
     step.  Batching windows amortizes the per-step dispatch/DMA overhead,
@@ -394,21 +423,7 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
         def build_bias(slot, pat):
             """Blend rel/frag by the fragment gate and fold the h/w seam
             for window pattern ``pat`` into cache slab ``slot``."""
-            h_idx = pat // Ww
-            w_idx = jax.lax.rem(pat, Ww)
-            gd, gh, gw = _coord_vectors(geo, 0, h_idx, w_idx)
-            if use_frag:
-                fhi = _fragment_ids(gh, sh, Hp, fh)
-                fwi = _fragment_ids(gw, sw, Wp, fw)
-                gate = (jnp.abs(fhi - fhi.T) + jnp.abs(fwi - fwi.T))
-                if fd > 1:  # single d window: fold its gate term too
-                    fdi = _fragment_ids(gd, sd, Dp, fd)
-                    gate = gate + jnp.abs(fdi - fdi.T)
-                gate = gate.astype(jnp.float32)
-            if hw_shifted:
-                segh = _segment_ids(gh, wh, sh, Hp)
-                segw = _segment_ids(gw, ww, sw, Wp)
-                seam = jnp.logical_and(segh == segh.T, segw == segw.T)
+            gate, seam = _pattern_gate_seam(geo, pat)
             for hh in range(h):
                 if use_frag:
                     b = relb_ref[hh] * gate + fragb_ref[hh] * (1.0 - gate)
@@ -702,3 +717,406 @@ def _d_seam_mask(geo: WindowGeometry):
             geo.dims, geo.window, geo.shift, geo.n_tokens, wh * ww
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Backward-capable flash window attention (training path)
+#
+# The XLA training composition materializes the (B*nW, h, N, N) score and
+# probability tensors to HBM in the forward AND (with remat, twice more in)
+# the backward — at train shapes that is the single largest slice of the
+# step (tools/profile_train_cuts.py: stages fwd+bwd 202 of 354 ms).  These
+# kernels keep all (N, N) intermediates in VMEM.  The backward recomputes
+# scores per window (flash style) instead of saving probabilities; taking
+# both `out` and `do` as operands lets it form the row-dot term
+# rowsum(do*out) in the natural (N, 1) orientation, avoiding any in-kernel
+# transposes.  drel/dfrag are accumulated into revisited (1, N, N) output
+# blocks that stay VMEM-resident for a whole head's sweep.
+#
+# Grid: (heads, pattern-chunks, B*Dw) with the window-instance axis
+# fastest — the per-pattern blended bias (and gate, in the backward) is
+# built once per (head, pattern-chunk) into VMEM scratch and reused by
+# every window instance, exactly as in the fused eval block kernel.
+
+# Tests force the CPU interpreter through this flag (plus monkeypatching
+# is not needed: the flag is read at trace time).
+TRAIN_INTERPRET = False
+
+
+def _train_specs(geo: WindowGeometry, G: int, hd: int):
+    """Common BlockSpecs for the train fwd/bwd kernels: q/k/v/out tiles,
+    per-head bias planes, and the static d-seam mask."""
+    _, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    N = geo.n_tokens
+
+    def tile_map(hh, pc, bd):
+        return (bd * (P // G) + pc, hh, 0, 0)
+
+    def plane_map(hh, pc, bd):
+        return (hh, 0, 0)
+
+    def mask_map(hh, pc, bd):
+        return (0, 0)
+
+    tile = pl.BlockSpec((G, 1, N, hd), tile_map, memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((1, N, N), plane_map, memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((N, N), mask_map, memory_space=pltpu.VMEM)
+    return tile, plane, mask
+
+
+def _pick_train_group(geo: WindowGeometry) -> int:
+    _, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    n = geo.n_tokens
+    budget = 24 * 1024 * 1024  # bias (+gate) cache slabs
+    for g in (8, 4, 2, 1):
+        if P % g == 0 and 2 * g * n * n * 4 <= budget:
+            return g
+    return 1
+
+
+def _make_train_fwd_kernel(geo: WindowGeometry, scale: float, G: int):
+    Dw = geo.wgrid[0]
+    use_frag = geo.use_frag
+    hw_shifted = bool(geo.shift[1] or geo.shift[2])
+    d_seam = bool(geo.shift[0])
+    need_cache = use_frag or hw_shifted
+
+    def kernel(q_ref, k_ref, v_ref, relb_ref, *rest):
+        rest = list(rest)
+        fragb_ref = rest.pop(0) if use_frag else None
+        maskd_ref = rest.pop(0) if d_seam else None
+        out_ref = rest.pop(0)
+        cache_ref = rest.pop(0) if need_cache else None
+        pc = pl.program_id(1)
+        bd = pl.program_id(2)
+
+        if need_cache:
+            @pl.when(bd == 0)
+            def _():
+                def fill(i, _):
+                    gate, seam = _pattern_gate_seam(geo, pc * G + i)
+                    if use_frag:
+                        b = relb_ref[0] * gate + fragb_ref[0] * (1.0 - gate)
+                    else:
+                        b = relb_ref[0] + jnp.float32(0.0)
+                    if hw_shifted:
+                        b = jnp.where(seam, b, b - 100.0)
+                    cache_ref[i] = b
+                    return 0
+
+                jax.lax.fori_loop(0, G, fill, 0)
+
+        if d_seam:
+            dmul = jnp.where(
+                jax.lax.rem(bd, Dw) == Dw - 1,
+                jnp.float32(1.0), jnp.float32(0.0),
+            )
+
+        def body(g, _):
+            q = q_ref[g, 0]
+            k = k_ref[g, 0]
+            v = v_ref[g, 0]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + (cache_ref[g] if need_cache else relb_ref[0])
+            if d_seam:
+                s = s + dmul * maskd_ref[...]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * r
+            out_ref[g, 0] = o.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, G, body, 0)
+
+    return kernel
+
+
+def _make_train_bwd_kernel(geo: WindowGeometry, scale: float, G: int):
+    Dw = geo.wgrid[0]
+    use_frag = geo.use_frag
+    hw_shifted = bool(geo.shift[1] or geo.shift[2])
+    d_seam = bool(geo.shift[0])
+    need_cache = use_frag or hw_shifted
+
+    def kernel(q_ref, k_ref, v_ref, relb_ref, *rest):
+        rest = list(rest)
+        fragb_ref = rest.pop(0) if use_frag else None
+        maskd_ref = rest.pop(0) if d_seam else None
+        out_ref = rest.pop(0)   # saved forward output
+        do_ref = rest.pop(0)
+        dq_ref = rest.pop(0)
+        dk_ref = rest.pop(0)
+        dv_ref = rest.pop(0)
+        drel_ref = rest.pop(0)
+        dfrag_ref = rest.pop(0) if use_frag else None
+        cache_ref = rest.pop(0) if need_cache else None
+        gate_ref = rest.pop(0) if use_frag else None
+        pc = pl.program_id(1)
+        bd = pl.program_id(2)
+
+        if need_cache:
+            @pl.when(bd == 0)
+            def _():
+                def fill(i, _):
+                    gate, seam = _pattern_gate_seam(geo, pc * G + i)
+                    if use_frag:
+                        b = relb_ref[0] * gate + fragb_ref[0] * (1.0 - gate)
+                        gate_ref[i] = gate
+                    else:
+                        b = relb_ref[0] + jnp.float32(0.0)
+                    if hw_shifted:
+                        b = jnp.where(seam, b, b - 100.0)
+                    cache_ref[i] = b
+                    return 0
+
+                jax.lax.fori_loop(0, G, fill, 0)
+
+        # zero the per-head table-gradient accumulators at the first visit
+        @pl.when(jnp.logical_and(pc == 0, bd == 0))
+        def _():
+            drel_ref[0] = jnp.zeros_like(drel_ref[0])
+            if use_frag:
+                dfrag_ref[0] = jnp.zeros_like(dfrag_ref[0])
+
+        if d_seam:
+            dmul = jnp.where(
+                jax.lax.rem(bd, Dw) == Dw - 1,
+                jnp.float32(1.0), jnp.float32(0.0),
+            )
+
+        def body(g, _):
+            q = q_ref[g, 0]
+            k = k_ref[g, 0]
+            v = v_ref[g, 0]
+            o = out_ref[g, 0]
+            do = do_ref[g, 0]
+            # recompute normalized probabilities (flash style)
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + (cache_ref[g] if need_cache else relb_ref[0])
+            if d_seam:
+                s = s + dmul * maskd_ref[...]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            pn = p / jnp.sum(p, axis=-1, keepdims=True)  # (N, N) f32
+
+            dof = do.astype(jnp.float32)
+            dsum = jnp.sum(
+                dof * o.astype(jnp.float32), axis=-1, keepdims=True
+            )  # (N, 1) = rowsum(do * out)
+            dp = jax.lax.dot_general(
+                do, v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (N, N)
+            ds = pn * (dp - dsum)  # (N, N) f32
+
+            dsl = (ds * scale).astype(q.dtype)
+            dq_ref[g, 0] = jax.lax.dot_general(
+                dsl, k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dq_ref.dtype)
+            dk_ref[g, 0] = jax.lax.dot_general(
+                dsl, q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+            dv_ref[g, 0] = jax.lax.dot_general(
+                pn.astype(do.dtype), do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+
+            if use_frag:
+                gate = gate_ref[g]
+                drel_ref[0] += ds * gate
+                dfrag_ref[0] += ds * (1.0 - gate)
+            else:
+                drel_ref[0] += ds
+            return 0
+
+        jax.lax.fori_loop(0, G, body, 0)
+
+    return kernel
+
+
+def _train_attention_fwd_impl(geo, scale, q, k, v, rel, frag):
+    BW, h, N, hd = q.shape
+    G = _pick_train_group(geo)
+    Dw, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    need_cache = geo.use_frag or bool(geo.shift[1] or geo.shift[2])
+    d_seam = bool(geo.shift[0])
+    tile, plane, mask = _train_specs(geo, G, hd)
+    grid = (h, P // G, BW // P)
+    args = [q, k, v, rel]
+    in_specs = [tile, tile, tile, plane]
+    if geo.use_frag:
+        args.append(frag)
+        in_specs.append(plane)
+    if d_seam:
+        args.append(_d_seam_mask(geo))
+        in_specs.append(mask)
+    kernel = _make_train_fwd_kernel(geo, float(scale), G)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((G, N, N), jnp.float32)] if need_cache else []
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BW * h * N * N * hd,
+            bytes_accessed=4 * BW * h * N * hd * q.dtype.itemsize
+            + (1 + int(geo.use_frag)) * h * N * N * 4,
+            transcendentals=BW * h * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=TRAIN_INTERPRET,
+    )(*args)
+
+
+def _train_attention_bwd_impl(geo, scale, q, k, v, rel, frag, out, do):
+    BW, h, N, hd = q.shape
+    G = _pick_train_group(geo)
+    Dw, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    need_cache = geo.use_frag or bool(geo.shift[1] or geo.shift[2])
+    d_seam = bool(geo.shift[0])
+    tile, plane, mask = _train_specs(geo, G, hd)
+    grid = (h, P // G, BW // P)
+    args = [q, k, v, rel]
+    in_specs = [tile, tile, tile, plane]
+    if geo.use_frag:
+        args.append(frag)
+        in_specs.append(plane)
+    if d_seam:
+        args.append(_d_seam_mask(geo))
+        in_specs.append(mask)
+    args += [out, do]
+    in_specs += [tile, tile]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # dq
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # dk
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # dv
+        jax.ShapeDtypeStruct((h, N, N), jnp.float32),  # drel
+    ]
+    out_specs = [tile, tile, tile, plane]
+    if geo.use_frag:
+        out_shapes.append(jax.ShapeDtypeStruct((h, N, N), jnp.float32))
+        out_specs.append(plane)
+
+    scratch = []
+    if need_cache:
+        scratch.append(pltpu.VMEM((G, N, N), jnp.float32))
+    if geo.use_frag:
+        scratch.append(pltpu.VMEM((G, N, N), jnp.float32))
+
+    kernel = _make_train_bwd_kernel(geo, float(scale), G)
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * BW * h * N * N * hd,
+            bytes_accessed=8 * BW * h * N * hd * q.dtype.itemsize
+            + 2 * (1 + int(geo.use_frag)) * h * N * N * 4,
+            transcendentals=BW * h * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=TRAIN_INTERPRET,
+    )(*args)
+    if geo.use_frag:
+        dq, dk, dv, drel, dfrag = res
+        return dq, dk, dv, drel, dfrag
+    dq, dk, dv, drel = res
+    return dq, dk, dv, drel, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _wat_frag(geo, scale, q, k, v, rel, frag):
+    return _train_attention_fwd_impl(geo, scale, q, k, v, rel, frag)
+
+
+def _wat_frag_fwd(geo, scale, q, k, v, rel, frag):
+    out = _train_attention_fwd_impl(geo, scale, q, k, v, rel, frag)
+    return out, (q, k, v, rel, frag, out)
+
+
+def _wat_frag_bwd(geo, scale, res, do):
+    q, k, v, rel, frag, out = res
+    dq, dk, dv, drel, dfrag = _train_attention_bwd_impl(
+        geo, scale, q, k, v, rel, frag, out, do
+    )
+    return dq, dk, dv, drel, dfrag
+
+
+_wat_frag.defvjp(_wat_frag_fwd, _wat_frag_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _wat_nofrag(geo, scale, q, k, v, rel):
+    return _train_attention_fwd_impl(geo, scale, q, k, v, rel, None)
+
+
+def _wat_nofrag_fwd(geo, scale, q, k, v, rel):
+    out = _train_attention_fwd_impl(geo, scale, q, k, v, rel, None)
+    return out, (q, k, v, rel, out)
+
+
+def _wat_nofrag_bwd(geo, scale, res, do):
+    q, k, v, rel, out = res
+    dq, dk, dv, drel, _ = _train_attention_bwd_impl(
+        geo, scale, q, k, v, rel, None, out, do
+    )
+    return dq, dk, dv, drel
+
+
+_wat_nofrag.defvjp(_wat_nofrag_fwd, _wat_nofrag_bwd)
+
+
+def window_attention_train(q, k, v, rel_bias, frag_bias,
+                           geo: WindowGeometry, scale: float | None = None):
+    """Differentiable flash window attention for the TRAINING path.
+
+    q/k/v: (B*nW, h, N, hd); rel/frag bias (h, N, N) fp32 planes
+    (pre-gathered from the tables — upstream autodiff scatters the plane
+    gradients back into the tables).  Returns (B*nW, h, N, hd).
+
+    Semantics match the XLA composition in WindowAttention3D (gate-blended
+    dual bias + seam masks); gradients are custom (flash-style
+    recomputation, see _make_train_bwd_kernel).  No attention dropout —
+    callers gate on attn_drop == 0.
+    """
+    assert (frag_bias is not None) == geo.use_frag
+    _, h, N, hd = q.shape
+    if scale is None:
+        scale = hd ** -0.5
+    if geo.use_frag:
+        return _wat_frag(geo, float(scale), q, k, v, rel_bias, frag_bias)
+    return _wat_nofrag(geo, float(scale), q, k, v, rel_bias)

@@ -217,3 +217,150 @@ def test_fused_block_major_mode_matches_resident():
         finally:
             WA.BIAS_CACHE_BUDGET = old
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def _xla_window_attention(q, k, v, rel, frag, gate, mask, scale):
+    """Differentiable jnp version of the XLA composition (golden for both
+    values and gradients of the train kernel)."""
+    attn = jnp.einsum(
+        "whnd,whmd->whnm", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if frag is not None:
+        bias = rel[None] * gate[:, None] + frag[None] * (1 - gate[:, None])
+    else:
+        bias = rel[None]
+    attn = attn + bias
+    if mask is not None:
+        attn = attn + mask[:, None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum(
+        "whnm,whmd->whnd", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@pytest.mark.parametrize(
+    "dims,shift,use_frag",
+    [
+        ((4, 14, 14), (0, 0, 0), True),
+        ((4, 14, 14), (1, 3, 3), True),
+        ((4, 14, 14), (1, 3, 3), False),
+        ((4, 28, 28), (1, 3, 3), True),
+    ],
+)
+def test_train_kernel_values_and_grads_match_xla(dims, shift, use_frag):
+    import kvq_tpu.ops.window_attention as WA
+
+    window = (2, 7, 7)
+    B, h, hd = 2, 2, 8
+    N = 2 * 7 * 7
+    nW = (dims[0] // 2) * (dims[1] // 7) * (dims[2] // 7)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B * nW, h, N, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B * nW, h, N, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B * nW, h, N, hd)), jnp.float32)
+    rel = jnp.asarray(rng.normal(size=(h, N, N)), jnp.float32)
+    frag = (
+        jnp.asarray(rng.normal(size=(h, N, N)), jnp.float32)
+        if use_frag else None
+    )
+    w = jnp.asarray(rng.normal(size=(B * nW, h, N, hd)), jnp.float32)
+
+    geo = WindowGeometry(
+        batch=B, dims=dims, window=window, shift=shift,
+        fragments=(1, 7, 7), num_heads=h, head_dim=hd, use_frag=use_frag,
+    )
+    gate = jnp.asarray(S.fragment_gate(dims, (1, 7, 7), window, shift))
+    mask_np = S.compute_shift_mask(dims, window, shift)
+    mask = None if mask_np is None else jnp.asarray(mask_np)
+
+    def loss_ref(q, k, v, rel, frag):
+        outs = []
+        for b in range(B):
+            sl = slice(b * nW, (b + 1) * nW)
+            outs.append(_xla_window_attention(
+                q[sl], k[sl], v[sl], rel, frag, gate, mask, hd ** -0.5
+            ))
+        return jnp.sum(jnp.concatenate(outs) * w)
+
+    def loss_ker(q, k, v, rel, frag):
+        from kvq_tpu.ops.window_attention import window_attention_train
+
+        out = window_attention_train(q, k, v, rel, frag, geo)
+        return jnp.sum(out * w)
+
+    WA.TRAIN_INTERPRET = True
+    try:
+        argnums = (0, 1, 2, 3, 4) if use_frag else (0, 1, 2, 3)
+        vr, gr = jax.value_and_grad(loss_ref, argnums)(q, k, v, rel, frag)
+        vk, gk = jax.value_and_grad(loss_ker, argnums)(q, k, v, rel, frag)
+    finally:
+        WA.TRAIN_INTERPRET = False
+
+    np.testing.assert_allclose(float(vk), float(vr), rtol=2e-5)
+    names = ["dq", "dk", "dv", "drel", "dfrag"]
+    for name, a, b in zip(names, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+            err_msg=f"{name} mismatch ({dims}, shift={shift}, frag={use_frag})",
+        )
+
+
+def test_swin_train_kernel_param_grads_match_xla_path():
+    """Full train-path gradients: SwinTransformer3D with the custom_vjp
+    attention kernel (interpret mode) vs the XLA composition."""
+    import kvq_tpu.ops.window_attention as WA
+
+    kw = dict(
+        embed_dim=16, depths=(2,), num_heads=(2,), window_size=(2, 7, 7),
+        frag_biases=(True,), jump_attention=(False,),
+        use_checkpoint=True, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(1, 4, 28, 28, 3)), jnp.float32
+    )
+    m_xla = S.SwinTransformer3D(config=S.SwinConfig(**kw), dtype=jnp.float32)
+    v = m_xla.init(jax.random.key(0), {"technical": x}, train=True)
+
+    def loss_xla(p):
+        out = m_xla.apply(
+            {**v, "params": p}, {"technical": x}, train=True,
+            rngs={"dropout": jax.random.key(1)},
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    m_pal = S.SwinTransformer3D(
+        config=S.SwinConfig(use_pallas=True, **kw), dtype=jnp.float32
+    )
+
+    def loss_pal(p):
+        out = m_pal.apply(
+            {**v, "params": p}, {"technical": x}, train=True,
+            rngs={"dropout": jax.random.key(1)},
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    WA.TRAIN_INTERPRET = True
+    WA.ALLOW_CPU_PALLAS = True
+    try:
+        lx, gx = jax.value_and_grad(loss_xla)(v["params"])
+        lp, gp = jax.value_and_grad(loss_pal)(v["params"])
+    finally:
+        WA.TRAIN_INTERPRET = False
+        WA.ALLOW_CPU_PALLAS = False
+
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+
+    def _pstr(path):
+        return "/".join(str(getattr(q, "key", q)) for q in path)
+
+    for path, leaf in flat_x:
+        other = gp
+        for part in path:
+            other = other[part.key]
+        np.testing.assert_allclose(
+            np.asarray(other), np.asarray(leaf), atol=1e-3, rtol=5e-3,
+            err_msg=f"param grad mismatch at {_pstr(path)}",
+        )
