@@ -385,7 +385,15 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
     leave the MXU latency-bound — was NOT faster (swin-tiny trunk
     4x96x224x224: 14.1 ms merged vs 13.8 ms this kernel; stage3
     regressed 0.3 -> 1.4 ms).  Mosaic already pipelines the per-window
-    matmuls well at these sizes; the fori_loop form keeps VMEM smaller."""
+    matmuls well at these sizes; the fori_loop form keeps VMEM smaller.
+
+    Second measured dead end (r2): interleaving TWO independent windows
+    per fori_loop step (issuing each LN/qkv/attn/proj/MLP phase for both
+    back-to-back, so the scheduler could overlap one window's MXU phase
+    with the other's VPU phase) was perf-neutral at the dominant config
+    (C=96 frag+shift: 7.53 ms vs 7.5-8.0 baseline) and one ablation
+    variant's Mosaic compile hung >15 min — the single-window chain is
+    already overlap-scheduled across fori_loop iterations."""
     Dp, Hp, Wp = geo.dims
     wd, wh, ww = geo.window
     sd, sh, sw = geo.shift

@@ -42,7 +42,8 @@ def main():
     cfg = ksvqe_config(
         {"num_samples": 1, "sample_type": "topkpertubation",
          "CLIP_location": 8, "cls_use": True, "tuning_stage": 1,
-         "a1": 1, "a2": 2, "checkpoint": remat}
+         "a1": 1, "a2": 2, "checkpoint": remat,
+         "use_pallas": os.environ.get("KVQ_PALLAS", "1") == "1"}
     )
     model = KSVQE(config=cfg, dtype=dt)
     variables = jax.jit(
