@@ -385,8 +385,13 @@ class Trainer:
             last_aux = aux
         return {k: float(v) for k, v in last_aux.items()}
 
-    def _eval_scores(self, params, batch: dict) -> tuple[list, list]:
-        """Score one (possibly padded) eval batch -> per-video preds+labels.
+    def _eval_dispatch(self, params, batch: dict) -> tuple[int, Any, list]:
+        """Host-prep one eval batch and dispatch the jitted step.
+
+        Returns ``(n_valid, device_out, labels)`` WITHOUT reading the
+        result back — jax dispatch is async, so the caller can keep a
+        second batch's pad/reshape + H2D copy in flight while the device
+        is busy (see ``evaluate``).
 
         Batched upgrade over the reference's strictly-sequential batch-1
         validation (trainer.py:180-214): ``eval_batch_size`` videos fold
@@ -410,9 +415,19 @@ class Trainer:
             out = self._mesh_eval_step(params, self.state.batch_stats, ab)
         else:
             out = self._eval_step(params, self.state.batch_stats, ab)
-        per_video = np.asarray(out).reshape(eb, -1).mean(axis=1)
         labels = np.asarray(batch["label"], np.float64).reshape(-1)
-        return per_video[:n].tolist(), labels[:n].tolist()
+        return n, out, labels[:n].tolist()
+
+    def _eval_collect(self, n: int, out) -> list:
+        """Block on one dispatched eval batch -> per-video predictions."""
+        eb = self.eval_batch_size()
+        per_video = np.asarray(out).reshape(eb, -1).mean(axis=1)
+        return per_video[:n].tolist()
+
+    def _eval_scores(self, params, batch: dict) -> tuple[list, list]:
+        """Score one (possibly padded) eval batch -> per-video preds+labels."""
+        n, out, labels = self._eval_dispatch(params, batch)
+        return self._eval_collect(n, out), labels
 
     @staticmethod
     def _global_gather(values: list[float]) -> list[float]:
@@ -438,13 +453,21 @@ class Trainer:
         ]
 
     def evaluate(self, use_ema: bool = False) -> tuple:
+        """Validation pass, double-buffered: batch N+1's pad/reshape and
+        H2D copy run while the device scores batch N (the readback in
+        ``_eval_collect`` is the only sync point)."""
         assert self.state is not None and self.val_loader is not None
         params = self.state.ema_params if use_ema else self.state.params
         preds, labels = [], []
+        pending: list[tuple[int, Any]] = []
         for batch in self.val_loader.epoch(0):
-            p, l = self._eval_scores(params, batch)
-            preds.extend(p)
-            labels.extend(l)
+            n, out, lab = self._eval_dispatch(params, batch)
+            pending.append((n, out))
+            labels.extend(lab)
+            if len(pending) >= 2:
+                preds.extend(self._eval_collect(*pending.pop(0)))
+        for item in pending:
+            preds.extend(self._eval_collect(*item))
         preds = self._global_gather(preds)
         labels = self._global_gather(labels)
         return vqa_metrics(labels, preds)
