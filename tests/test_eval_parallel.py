@@ -91,6 +91,28 @@ def test_batched_eval_matches_sequential():
     np.testing.assert_allclose(p1, p3, rtol=1e-5, atol=1e-5)
 
 
+def test_evaluate_double_buffered_matches_sequential():
+    """Trainer.evaluate pipelines dispatch/collect (two batches in
+    flight); its metrics must equal the strictly-sequential per-batch
+    path.  n_val=5 with eval_batch_size=2 leaves a padded final batch
+    AND a non-empty pending queue to drain."""
+    from kvq_tpu.core.metrics import vqa_metrics
+
+    cfg = tiny_cfg(n_val=5, eval_batch_size=2)
+    tr = Trainer(cfg, workdir="/tmp/evalparwork")
+    tr.build_datasets()
+    sample = next(tr.val_loader.epoch(0))
+    tr.build_models(sample, seed=0)
+    got = tr.evaluate()
+    preds, labels = [], []
+    for batch in tr.val_loader.epoch(0):
+        p, l = tr._eval_scores(tr.state.params, batch)
+        preds.extend(p)
+        labels.extend(l)
+    assert len(preds) == 5
+    np.testing.assert_allclose(got, vqa_metrics(labels, preds), rtol=0, atol=0)
+
+
 def test_mesh_eval_matches_single_device():
     p1, _ = _eval_preds(tiny_cfg(n_val=5, eval_batch_size=1))
     mesh = make_mesh(data=4, fsdp=2)
