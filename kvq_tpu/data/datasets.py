@@ -153,9 +153,16 @@ class KVQDataset(_ViewDatasetBase):
                 resize = V.get_resized_video(raw, **sopt)
                 data["fragment"] = V.normalize(frag, "imagenet_255")
                 data["resize_video"] = V.normalize(resize, "clip")
-            data["ori_fragment"] = get_spatial_fragments(raw, rng=rng, **sopt).astype(
-                np.float32
-            )
+            # ``ori_fragment`` (un-normalized mosaic) is part of the
+            # reference batch contract (fusion_datasets.py:1028) but is
+            # DEAD there — no reference trainer or model ever reads it,
+            # yet every sample pays a second full mosaic + collate + H2D.
+            # Opt-in here; the key reappears with
+            # ``opt["return_ori_fragment"] = True``.
+            if self.opt.get("return_ori_fragment", False):
+                data["ori_fragment"] = get_spatial_fragments(
+                    raw, rng=rng, **sopt
+                ).astype(np.float32)
             data["original_shape"] = raw.shape
 
         data["num_clips"] = {k: s["num_clips"] for k, s in self.sample_types.items()}

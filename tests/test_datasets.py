@@ -37,6 +37,8 @@ def test_kvq_dataset_contract():
         n_videos=2, n_frames=140, height=360, width=640,
         sample_types=KSVQE_SAMPLE_TYPES, phase="train",
     )
+    # ori_fragment is opt-in (dead in the reference; costs a second mosaic)
+    opt["return_ori_fragment"] = True
     ds = KVQDataset(opt)
     assert len(ds) == 2
     item = ds[0]
@@ -51,6 +53,18 @@ def test_kvq_dataset_contract():
     assert isinstance(item["label"], float)
     assert item["num_clips"]["technical"] == 1
     assert item["clip_len"]["technical"] == 32
+
+
+def test_kvq_dataset_ori_fragment_default_off():
+    """By default the dead-in-reference ``ori_fragment`` view is skipped
+    (it doubles per-sample mosaic cost); the batch otherwise matches."""
+    opt = make_synthetic_opt(
+        n_videos=1, n_frames=140, height=360, width=640,
+        sample_types=KSVQE_SAMPLE_TYPES, phase="train",
+    )
+    item = KVQDataset(opt)[0]
+    assert "ori_fragment" not in item
+    assert item["fragment"].shape == (32, 288, 288, 3)
 
 
 def test_kvq_eval_num_clips_3_gives_96_frames():

@@ -23,6 +23,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kvq_jax_cache")
+
     from kvq_tpu.nn.cdm import (
         AdapterMLP, CrossAttention, DistFiLM, SemanticFiLM,
         TemporalAttention,
