@@ -522,10 +522,15 @@ class Trainer:
         (SURVEY.md §5.1.1): writes ``video_name,score`` lines."""
         assert self.state is not None and self.val_loader is not None
         results = []
+        pending: list[tuple[list, int, Any]] = []
         for batch in self.val_loader.epoch(0):
-            names = batch["video_name"]
-            scores, _ = self._eval_scores(self.state.params, batch)
-            results.extend(zip(names[: len(scores)], scores))
+            n, out, _ = self._eval_dispatch(self.state.params, batch)
+            pending.append((list(batch["video_name"])[:n], n, out))
+            if len(pending) >= 2:
+                names, n0, out0 = pending.pop(0)
+                results.extend(zip(names, self._eval_collect(n0, out0)))
+        for names, n0, out0 in pending:
+            results.extend(zip(names, self._eval_collect(n0, out0)))
         with open(output_path, "w") as f:
             for name, score in results:
                 f.write(f"{name},{score}\n")
