@@ -215,7 +215,7 @@ def measure_train(B=4, T=32, reps=4):
     return B / step_s, step_s
 
 
-def probe_tpu(timeout_s=120, retries=4):
+def probe_tpu(timeout_s=120, retries=2):
     """Bounded TPU-availability check.  When the axon tunnel is down,
     ``jax.devices()`` HANGS in C code rather than raising, so the probe
     must run in a subprocess with a hard timeout.  Returns an error
@@ -236,7 +236,7 @@ def probe_tpu(timeout_s=120, retries=4):
         except subprocess.TimeoutExpired:
             err = f"jax.devices() hung >{timeout_s}s (tunnel down?)"
         if k + 1 < retries:
-            time.sleep(30)
+            time.sleep(15)
     return err
 
 

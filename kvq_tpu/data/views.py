@@ -57,7 +57,9 @@ def normalize(video: np.ndarray, profile: str) -> np.ndarray:
         a, b = 1.0 / (255.0 * 0.225), -0.45 / 0.225
     else:
         raise ValueError(f"unknown normalization profile {profile!r}")
-    v = video.astype(np.float32)  # always a fresh buffer; in-place is safe
+    # astype always copies -> fresh buffer, in-place ops are safe; asarray
+    # first so list/buffer inputs keep working.
+    v = np.asarray(video).astype(np.float32)
     v *= np.asarray(a, np.float32)
     v += np.asarray(b, np.float32)
     return v

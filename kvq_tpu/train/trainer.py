@@ -429,6 +429,24 @@ class Trainer:
         n, out, labels = self._eval_dispatch(params, batch)
         return self._eval_collect(n, out), labels
 
+    def _eval_batches(self, params):
+        """Yield ``(batch, per_video_scores)`` in loader order, keeping up
+        to ``eval_pipeline_depth`` (default 2) dispatched batches in
+        flight so batch N+1's host prep + H2D copy overlaps batch N's
+        device scoring.  Set ``eval_pipeline_depth: 1`` in the config to
+        restore strictly-sequential eval (one batch resident on device)
+        when eval_batch_size is tuned to the HBM limit."""
+        depth = max(1, int(self.config.get("eval_pipeline_depth", 2)))
+        pending: list[tuple[dict, int, Any]] = []
+        for batch in self.val_loader.epoch(0):
+            n, out, _ = self._eval_dispatch(params, batch)
+            pending.append((batch, n, out))
+            if len(pending) >= depth:
+                b, n0, out0 = pending.pop(0)
+                yield b, self._eval_collect(n0, out0)
+        for b, n0, out0 in pending:
+            yield b, self._eval_collect(n0, out0)
+
     @staticmethod
     def _global_gather(values: list[float]) -> list[float]:
         """Concatenate per-host prediction/label lists across processes
@@ -459,15 +477,10 @@ class Trainer:
         assert self.state is not None and self.val_loader is not None
         params = self.state.ema_params if use_ema else self.state.params
         preds, labels = [], []
-        pending: list[tuple[int, Any]] = []
-        for batch in self.val_loader.epoch(0):
-            n, out, lab = self._eval_dispatch(params, batch)
-            pending.append((n, out))
-            labels.extend(lab)
-            if len(pending) >= 2:
-                preds.extend(self._eval_collect(*pending.pop(0)))
-        for item in pending:
-            preds.extend(self._eval_collect(*item))
+        for batch, p in self._eval_batches(params):
+            preds.extend(p)
+            lab = np.asarray(batch["label"], np.float64).reshape(-1)
+            labels.extend(lab[: len(p)].tolist())
         preds = self._global_gather(preds)
         labels = self._global_gather(labels)
         return vqa_metrics(labels, preds)
@@ -522,15 +535,8 @@ class Trainer:
         (SURVEY.md §5.1.1): writes ``video_name,score`` lines."""
         assert self.state is not None and self.val_loader is not None
         results = []
-        pending: list[tuple[list, int, Any]] = []
-        for batch in self.val_loader.epoch(0):
-            n, out, _ = self._eval_dispatch(self.state.params, batch)
-            pending.append((list(batch["video_name"])[:n], n, out))
-            if len(pending) >= 2:
-                names, n0, out0 = pending.pop(0)
-                results.extend(zip(names, self._eval_collect(n0, out0)))
-        for names, n0, out0 in pending:
-            results.extend(zip(names, self._eval_collect(n0, out0)))
+        for batch, p in self._eval_batches(self.state.params):
+            results.extend(zip(list(batch["video_name"])[: len(p)], p))
         with open(output_path, "w") as f:
             for name, score in results:
                 f.write(f"{name},{score}\n")

@@ -124,6 +124,16 @@ def main():
 
     import jax
 
+    if not tiny:
+        # the axon backend HANGS (no error) when the tunnel is down —
+        # bounded probe first, same as bench.py
+        from bench import probe_tpu
+
+        err = probe_tpu()
+        if err is not None:
+            print(json.dumps({"error": f"TPU backend unavailable: {err}"}))
+            return
+
     jax.config.update("jax_compilation_cache_dir", "/tmp/kvq_jax_cache")
 
     from kvq_tpu.train.trainer import Trainer
