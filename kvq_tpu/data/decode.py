@@ -80,6 +80,14 @@ class OpenCVVideoSource:
         if not cap.isOpened():
             raise IOError(f"cannot open video {path}")
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n <= 0:
+            # Some containers (VFR/webm/streams) report CAP_PROP_FRAME_COUNT
+            # as 0; without a real length the early-stop clamp in
+            # get_frames would freeze the whole clip on frame 0.  Count by
+            # a grab()-only bitstream pass (no colorspace conversion).
+            n = 0
+            while cap.grab():
+                n += 1
         cap.release()
         self._n_raw = max(n, 0)
         self._cap: "cv2.VideoCapture | None" = None

@@ -51,8 +51,9 @@ struct VideoHandle {
 
 // Satisfy `want` (sorted unique frame indices) in h->cache, early-stopping
 // at want.back().  Returns false when nothing could be decoded.
-bool ensure_frames(VideoHandle* h, const std::vector<int>& want_in) {
-  std::lock_guard<std::mutex> lock(h->mu);
+// Caller must hold h->mu (the cache keeps growing across calls, so readers
+// need the same lock as this writer).
+bool ensure_frames_locked(VideoHandle* h, const std::vector<int>& want_in) {
   std::vector<int> want;
   for (int i : want_in)
     if (!h->cache.count(i)) want.push_back(i);
@@ -131,6 +132,13 @@ void* kvq_open_video(const char* path, int pad_short) {
   h->path = path;
   h->pad_short = pad_short;
   h->n_frames_raw = (int)cap.get(cv::CAP_PROP_FRAME_COUNT);
+  if (h->n_frames_raw <= 0) {
+    // bad container metadata (VFR/webm/streams): count by a grab()-only
+    // pass or the early-stop clamp would freeze the clip on frame 0
+    int cnt = 0;
+    while (cap.grab()) ++cnt;
+    h->n_frames_raw = cnt;
+  }
   cap.release();
   return h;
 }
@@ -158,6 +166,10 @@ int64_t kvq_decode_frames(void* handle, const int32_t* indices, int n,
                           uint8_t* out) {
   auto* h = (VideoHandle*)handle;
   if (!h) return -1;
+  // One lock spans clamp + decode + copy: the cache grows on every call,
+  // so concurrent kvq_decode_frames on a shared handle would otherwise
+  // race a reader against ensure_frames_locked's std::map inserts.
+  std::lock_guard<std::mutex> lock(h->mu);
   // clamp to metadata range, gather unique sorted wanted indices
   std::vector<int> want;
   want.reserve(n);
@@ -173,7 +185,7 @@ int64_t kvq_decode_frames(void* handle, const int32_t* indices, int n,
   uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
   // n == 0 is the bindings' dimension probe: decode just frame 0
   if (uniq.empty()) uniq.push_back(0);
-  if (!ensure_frames(h, uniq) || h->cache.empty()) return -1;
+  if (!ensure_frames_locked(h, uniq) || h->cache.empty()) return -1;
   int hi_cached = h->cache.rbegin()->first;
   const cv::Mat& first = h->cache.begin()->second;
   int H = first.rows, W = first.cols;

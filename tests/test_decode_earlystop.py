@@ -59,3 +59,33 @@ def test_overcounted_metadata_clamps(small_video):
     assert src._n_raw == 40
     ref_last = src.get_frames(np.array([39]))[0]
     np.testing.assert_array_equal(frames[1], ref_last)
+
+
+def test_zero_metadata_frame_count_recounts(small_video, monkeypatch):
+    """Containers reporting CAP_PROP_FRAME_COUNT=0 (VFR/webm/streams) must
+    not freeze the clip on frame 0 — the source grab()-counts the true
+    length instead of clamping every index to the bogus metadata."""
+    from kvq_tpu.data import decode as D
+
+    real_cap = D.cv2.VideoCapture
+
+    class NoCount:  # composition: subclassing cv2.VideoCapture segfaults at GC
+        def __init__(self, path):
+            self._c = real_cap(path)
+
+        def get(self, prop):
+            if prop == D.cv2.CAP_PROP_FRAME_COUNT:
+                return 0.0
+            return self._c.get(prop)
+
+        def __getattr__(self, name):
+            return getattr(self._c, name)
+
+    monkeypatch.setattr(D.cv2, "VideoCapture", NoCount)
+    src = OpenCVVideoSource(small_video)
+    assert src._n_raw == 40
+    frames = src.get_frames(np.array([0, 20, 39]))
+    # distinct luminance ramp frames, not frame 0 repeated
+    assert abs(frames[0].mean() - 0) < 4
+    assert abs(frames[1].mean() - 120) < 4
+    assert abs(frames[2].mean() - 234) < 4
