@@ -170,6 +170,9 @@ class KVQDataset(_ViewDatasetBase):
         data["frame_inds"] = frame_inds
         data["dis_label"] = info["dis_label"]
         data["label"] = info["label"]
+        # global dataset position: lets sharded/mesh eval identify and
+        # dedupe rows without assuming device ordering
+        data["sample_index"] = int(index)
         data["name"] = info["filename"]
         data["video_name"] = info["video_name"]
         return data
@@ -253,6 +256,9 @@ class SimpleVQADataset(_ViewDatasetBase):
         data["clip_len"] = {k: s["clip_len"] for k, s in self.sample_types.items()}
         data["frame_inds"] = frame_inds
         data["label"] = info["label"]
+        # global dataset position: lets sharded/mesh eval identify and
+        # dedupe rows without assuming device ordering
+        data["sample_index"] = int(index)
         data["video_name"] = info["video_name"]
         if "simpleVQA" in data:
             data["feat"] = self._load_features(info["video_name"])
@@ -296,6 +302,9 @@ class GenericViewDataset(_ViewDatasetBase):
         data["clip_len"] = {k: s["clip_len"] for k, s in self.sample_types.items()}
         data["frame_inds"] = frame_inds
         data["label"] = info["label"]
+        # global dataset position: lets sharded/mesh eval identify and
+        # dedupe rows without assuming device ordering
+        data["sample_index"] = int(index)
         data["video_name"] = info["video_name"]
         data["name"] = info["filename"]
         return data

@@ -76,6 +76,15 @@ class Loader:
         if self.shuffle:
             idx = np.random.default_rng((self.seed, epoch)).permutation(n)
         k, world = self.shard
+        if world > 1 and n > 0:
+            # Equal-length shards by wrapping (torch DistributedSampler
+            # parity, trainer_ddp.py:144-156): every host must run the
+            # SAME number of batches per epoch or per-batch SPMD
+            # collectives deadlock; duplicated samples are deduped at the
+            # eval consumer via sample_index.
+            total = -(-n // world) * world
+            if total > n:
+                idx = np.concatenate([idx, idx[: total - n]])
         return idx[k::world]
 
     def __len__(self) -> int:

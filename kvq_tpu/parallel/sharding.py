@@ -68,10 +68,25 @@ def replicated(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host-global numpy batch onto the mesh, batch-sharded."""
+    """Place a numpy batch onto the mesh, batch-sharded.
+
+    Single process: the batch is the global value; ``device_put`` splits
+    it across devices.  Multi-host: each process passes its OWN local
+    shard (per-host Loader shards, trainer.py) and the global batch is
+    assembled with ``jax.make_array_from_process_local_data`` — plain
+    device_put would wrongly treat every host's local batch as the same
+    global value.  All processes must pass equal local shapes, which the
+    Loader's wrapped equal shards + ``pad_batch_rows`` guarantee."""
     s = NamedSharding(mesh, batch_spec())
+    multi = jax.process_count() > 1
+
+    def put(v):
+        if multi:
+            return jax.make_array_from_process_local_data(s, np.asarray(v))
+        return jax.device_put(v, s)
+
     return {
-        k: jax.device_put(v, s) if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1
+        k: put(v) if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1
         else v
         for k, v in batch.items()
     }

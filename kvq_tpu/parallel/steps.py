@@ -209,9 +209,21 @@ def make_eval_step(model, config: dict, mesh: Mesh | None = None) -> Callable:
 
     if mesh is None:
         return jax.jit(step)
+
+    def step_tagged(params, batch_stats, batch):
+        # Pass the dataset index and label through with the scores: the
+        # replicated output is the all_gather analog
+        # (trainer_ddp.py:259-267), and tagging each row lets every host
+        # consume GLOBAL results without assuming any device ordering
+        # (multi-host batches are assembled per process, see
+        # sharding.shard_batch) and lets the consumer dedupe rows
+        # duplicated by shard wrapping / batch padding.
+        scores = step(params, batch_stats, batch)
+        return scores, batch["sample_index"], batch["label"]
+
     rep = NamedSharding(mesh, P())
     return jax.jit(
-        step,
+        step_tagged,
         in_shardings=(rep, rep, NamedSharding(mesh, shd.batch_spec())),
         out_shardings=rep,  # gathered predictions — the all_gather analog
     )

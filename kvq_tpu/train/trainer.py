@@ -46,6 +46,7 @@ ARRAY_BATCH_KEYS = (
     "feat",
     "label",
     "dis_label",
+    "sample_index",
 )
 
 
@@ -122,6 +123,7 @@ class Trainer:
         self._tx = None
         self._mesh_train_step = None
         self._mesh_eval_step = None
+        self._eval_row_pos = 0
         from ..core.logging import MetricLogger
 
         self.logger = MetricLogger(workdir, str(config.get("name", "train")))
@@ -399,6 +401,15 @@ class Trainer:
         over devices and XLA's output layout performs the prediction
         gather (the dist.all_gather analog, trainer_ddp.py:259-267)."""
         n = int(np.asarray(batch["label"]).reshape(-1).shape[0])
+        if "sample_index" not in batch:
+            # custom datasets without indices: synthesize a host-local
+            # running position (unique per epoch on one process; multi-host
+            # mesh eval needs real dataset indices — all built-ins emit them)
+            batch = dict(batch)
+            batch["sample_index"] = np.arange(
+                self._eval_row_pos, self._eval_row_pos + n, dtype=np.int32
+            )
+            self._eval_row_pos += n
         eb = self.eval_batch_size()
         batch = pad_batch_rows(batch, eb)
         rb = self._reshape_for_clips(batch)
@@ -418,16 +429,34 @@ class Trainer:
         labels = np.asarray(batch["label"], np.float64).reshape(-1)
         return n, out, labels[:n].tolist()
 
-    def _eval_collect(self, n: int, out) -> list:
-        """Block on one dispatched eval batch -> per-video predictions."""
+    def _eval_collect(self, n: int, out) -> tuple[list, list | None, list | None]:
+        """Block on one dispatched eval batch.
+
+        Local jit path: ``(first-n per-video predictions, None, None)``.
+        Mesh path (tagged step, parallel/steps.py make_eval_step): the
+        replicated output covers EVERY row of the (possibly multi-host)
+        global batch -> ``(all predictions, dataset indices, labels)``;
+        the consumer dedupes padding/wrap duplicates by index."""
+        if isinstance(out, tuple):
+            scores, gidx, glab = out
+            gidx = np.asarray(gidx).reshape(-1)
+            glab = np.asarray(glab, np.float64).reshape(-1)
+            rows = gidx.shape[0]
+            per_video = np.asarray(scores).reshape(rows, -1).mean(axis=1)
+            return (
+                per_video.tolist(),
+                [int(i) for i in gidx],
+                glab.tolist(),
+            )
         eb = self.eval_batch_size()
         per_video = np.asarray(out).reshape(eb, -1).mean(axis=1)
-        return per_video[:n].tolist()
+        return per_video[:n].tolist(), None, None
 
     def _eval_scores(self, params, batch: dict) -> tuple[list, list]:
         """Score one (possibly padded) eval batch -> per-video preds+labels."""
         n, out, labels = self._eval_dispatch(params, batch)
-        return self._eval_collect(n, out), labels
+        preds, _, _ = self._eval_collect(n, out)
+        return preds[:n], labels
 
     def _eval_batches(self, params):
         """Yield ``(batch, per_video_scores)`` in loader order, keeping up
@@ -437,15 +466,16 @@ class Trainer:
         restore strictly-sequential eval (one batch resident on device)
         when eval_batch_size is tuned to the HBM limit."""
         depth = max(1, int(self.config.get("eval_pipeline_depth", 2)))
+        self._eval_row_pos = 0  # synthetic-index counter, see _eval_dispatch
         pending: list[tuple[dict, int, Any]] = []
         for batch in self.val_loader.epoch(0):
             n, out, _ = self._eval_dispatch(params, batch)
             pending.append((batch, n, out))
             if len(pending) >= depth:
                 b, n0, out0 = pending.pop(0)
-                yield b, self._eval_collect(n0, out0)
+                yield b, n0, self._eval_collect(n0, out0)
         for b, n0, out0 in pending:
-            yield b, self._eval_collect(n0, out0)
+            yield b, n0, self._eval_collect(n0, out0)
 
     @staticmethod
     def _global_gather(values: list[float]) -> list[float]:
@@ -477,12 +507,27 @@ class Trainer:
         assert self.state is not None and self.val_loader is not None
         params = self.state.ema_params if use_ema else self.state.params
         preds, labels = [], []
-        for batch, p in self._eval_batches(params):
-            preds.extend(p)
-            lab = np.asarray(batch["label"], np.float64).reshape(-1)
-            labels.extend(lab[: len(p)].tolist())
-        preds = self._global_gather(preds)
-        labels = self._global_gather(labels)
+        seen: dict[int, tuple] = {}
+        order: list[int] = []
+        for batch, n, (p, gidx, glab) in self._eval_batches(params):
+            if gidx is None:
+                preds.extend(p[:n])
+                lab = np.asarray(batch["label"], np.float64).reshape(-1)
+                labels.extend(lab[:n].tolist())
+            else:
+                # mesh path: rows are global and tagged; dedupe the shard
+                # wrap / batch padding duplicates by dataset index
+                for i, s, l in zip(gidx, p, glab):
+                    if i not in seen:
+                        seen[i] = (s, l)
+                        order.append(i)
+        if order:
+            preds = [seen[i][0] for i in order]
+            labels = [seen[i][1] for i in order]
+        else:
+            # local-jit path: merge per-host shards
+            preds = self._global_gather(preds)
+            labels = self._global_gather(labels)
         return vqa_metrics(labels, preds)
 
     def train_eval_all_epoches(self, epoch: int, rng=None):
@@ -534,10 +579,39 @@ class Trainer:
         """Working equivalent of the reference's broken ``test.py`` entry
         (SURVEY.md §5.1.1): writes ``video_name,score`` lines."""
         assert self.state is not None and self.val_loader is not None
-        results = []
-        for batch, p in self._eval_batches(self.state.params):
-            results.extend(zip(list(batch["video_name"])[: len(p)], p))
-        with open(output_path, "w") as f:
-            for name, score in results:
-                f.write(f"{name},{score}\n")
+        results: list[tuple] = []
+        local_idx: list[int] = []
+        seen: set[int] = set()
+        infos = getattr(self.val_loader.dataset, "video_infos", None)
+        for batch, n, (p, gidx, _) in self._eval_batches(self.state.params):
+            if gidx is None:
+                results.extend(zip(list(batch["video_name"])[:n], p[:n]))
+                bi = np.asarray(batch.get("sample_index", [])).reshape(-1)
+                local_idx.extend(int(i) for i in bi[:n])
+            else:
+                # mesh path: global tagged rows — dedupe wrap/pad duplicates
+                names = (
+                    [infos[i]["video_name"] for i in gidx]
+                    if infos is not None
+                    else list(batch["video_name"])
+                )
+                for i, name, s in zip(gidx, names, p):
+                    if i not in seen:
+                        seen.add(i)
+                        results.append((name, s))
+        if not seen and jax.process_count() > 1 and infos is not None:
+            # local-jit multi-host: every host scored only its loader
+            # shard — merge by (dataset index, score) before writing
+            gi = [int(x) for x in self._global_gather([float(i) for i in local_idx])]
+            gs = self._global_gather([float(s) for _, s in results])
+            merged: dict[int, float] = {}
+            for i, s in zip(gi, gs):
+                merged.setdefault(i, s)
+            results = [
+                (infos[i]["video_name"], merged[i]) for i in sorted(merged)
+            ]
+        if jax.process_index() == 0:
+            with open(output_path, "w") as f:
+                for name, score in results:
+                    f.write(f"{name},{score}\n")
         return results

@@ -122,6 +122,28 @@ def test_mesh_eval_matches_single_device():
     np.testing.assert_allclose(p1, pm, rtol=1e-4, atol=1e-4)
 
 
+def test_mesh_evaluate_dedupes_and_matches_local():
+    """Full Trainer.evaluate on a mesh uses the tagged eval step (scores +
+    dataset index + label, replicated) and dedupes padding duplicates;
+    metrics must match the local-jit evaluate.  n_val=5 on an 8-way mesh
+    pads 3 duplicate rows per batch."""
+    cfg = tiny_cfg(n_val=5, eval_batch_size=2)
+    tr = Trainer(cfg, workdir="/tmp/evalparwork")
+    tr.build_datasets()
+    sample = next(tr.val_loader.epoch(0))
+    tr.build_models(sample, seed=0)
+    ref = tr.evaluate()
+
+    mesh = make_mesh(data=4, fsdp=2)
+    trm = Trainer(tiny_cfg(n_val=5, ddp=True), workdir="/tmp/evalparwork",
+                  mesh=mesh)
+    trm.build_datasets()
+    sample = next(trm.val_loader.epoch(0))
+    trm.build_models(sample, seed=0)
+    got = trm.evaluate()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_loader_shards_partition_dataset():
     opt = make_synthetic_opt(
         n_videos=7, n_frames=60, height=72, width=96,
@@ -130,9 +152,16 @@ def test_loader_shards_partition_dataset():
     from kvq_tpu.core.registry import DATASETS
 
     ds = DATASETS.get("SimpleVQADataset")(opt)
-    names = []
+    names, per_shard = [], []
     for k in range(2):
         ld = Loader(ds, batch_size=2, shuffle=False, num_workers=1, shard=(k, 2))
+        got = []
         for batch in ld.epoch(0):
-            names.extend(batch["video_name"])
-    assert len(names) == 7 and len(set(names)) == 7
+            got.extend(batch["video_name"])
+        per_shard.append(got)
+        names.extend(got)
+    # DistributedSampler parity: shards are EQUAL length (wrap-padded so
+    # every host runs the same number of batches — per-batch collectives
+    # would deadlock otherwise) and together cover the whole dataset
+    assert len(per_shard[0]) == len(per_shard[1]) == 4
+    assert len(names) == 8 and len(set(names)) == 7

@@ -106,10 +106,17 @@ def test_eval_step_sharded(setup):
     model = VQANetwork(config=CFG)
     mesh = make_mesh(data=8)
     ev = psteps.make_eval_step(model, CFG, mesh)
-    sb = shd.shard_batch(mesh, dict(batch))
-    out = ev(state.params, state.batch_stats, array_batch(sb))
+    tagged = dict(batch)
+    tagged["sample_index"] = np.arange(8, dtype=np.int32)
+    sb = shd.shard_batch(mesh, tagged)
+    out, gidx, glab = ev(state.params, state.batch_stats, array_batch(sb))
     assert out.shape == (8, 1)
     assert np.isfinite(np.asarray(out)).all()
+    # the tagged passthrough is replicated (the all_gather analog)
+    np.testing.assert_array_equal(np.asarray(gidx), np.arange(8))
+    np.testing.assert_allclose(
+        np.asarray(glab).reshape(-1), np.asarray(tagged["label"]).reshape(-1)
+    )
 
 
 def test_ddp_loss_is_mean_of_per_shard_losses(setup):
