@@ -116,6 +116,30 @@ def _pattern_gate_seam(geo: WindowGeometry, pat):
     return gate, seam
 
 
+def _blend_bias(geo: WindowGeometry, gate, seam, relb, fragb):
+    """The kernels' single bias-slab recipe: blend rel/frag tables by the
+    fragment gate, then fold the h/w shift seam as a -100 logit penalty.
+    Shared by the eval block kernel and the train fwd/bwd kernels so their
+    bias semantics cannot drift apart."""
+    if geo.use_frag:
+        b = relb * gate + fragb * (1.0 - gate)
+    else:
+        b = relb + jnp.float32(0.0)
+    if geo.shift[1] or geo.shift[2]:
+        b = jnp.where(seam, b, b - 100.0)
+    return b
+
+
+def _check_frag_grid(geo: WindowGeometry):
+    """All kernels reconstruct the fragment gate per (h,w) pattern with the
+    d term folded only when there is a single d window (_pattern_gate_seam
+    uses d_idx=0)."""
+    if geo.use_frag and geo.fragments[0] > 1 and geo.wgrid[0] > 1:
+        raise NotImplementedError(
+            "d-axis fragment grids >1 with multiple d windows"
+        )
+
+
 def _make_kernel(geo: WindowGeometry, scale: float, group: int):
     """Kernel processing ``group`` consecutive windows (one head) per grid
     step.  Batching windows amortizes the per-step dispatch/DMA overhead,
@@ -406,10 +430,7 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
     hw_shifted = bool(sh or sw)
     d_seam = bool(sd)
     need_cache = use_frag or hw_shifted
-    if use_frag and fd > 1 and Dw > 1:
-        raise NotImplementedError(
-            "d-axis fragment grids >1 with multiple d windows"
-        )
+    _check_frag_grid(geo)
 
     def kernel(x_ref, n1s_ref, n1b_ref, qkvw_ref, qkvb_ref,
                projw_ref, projb_ref, n2s_ref, n2b_ref,
@@ -433,13 +454,10 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
             for window pattern ``pat`` into cache slab ``slot``."""
             gate, seam = _pattern_gate_seam(geo, pat)
             for hh in range(h):
-                if use_frag:
-                    b = relb_ref[hh] * gate + fragb_ref[hh] * (1.0 - gate)
-                else:
-                    b = relb_ref[hh] + jnp.float32(0.0)
-                if hw_shifted:
-                    b = jnp.where(seam, b, b - 100.0)
-                cache_ref[slot, hh] = b
+                cache_ref[slot, hh] = _blend_bias(
+                    geo, gate, seam, relb_ref[hh],
+                    fragb_ref[hh] if use_frag else None,
+                )
 
         if need_cache:
             if mode == "major":
@@ -790,6 +808,7 @@ def _make_train_fwd_kernel(geo: WindowGeometry, scale: float, G: int):
     hw_shifted = bool(geo.shift[1] or geo.shift[2])
     d_seam = bool(geo.shift[0])
     need_cache = use_frag or hw_shifted
+    _check_frag_grid(geo)
 
     def kernel(q_ref, k_ref, v_ref, relb_ref, *rest):
         rest = list(rest)
@@ -805,13 +824,10 @@ def _make_train_fwd_kernel(geo: WindowGeometry, scale: float, G: int):
             def _():
                 def fill(i, _):
                     gate, seam = _pattern_gate_seam(geo, pc * G + i)
-                    if use_frag:
-                        b = relb_ref[0] * gate + fragb_ref[0] * (1.0 - gate)
-                    else:
-                        b = relb_ref[0] + jnp.float32(0.0)
-                    if hw_shifted:
-                        b = jnp.where(seam, b, b - 100.0)
-                    cache_ref[i] = b
+                    cache_ref[i] = _blend_bias(
+                        geo, gate, seam, relb_ref[0],
+                        fragb_ref[0] if use_frag else None,
+                    )
                     return 0
 
                 jax.lax.fori_loop(0, G, fill, 0)
@@ -856,6 +872,7 @@ def _make_train_bwd_kernel(geo: WindowGeometry, scale: float, G: int):
     hw_shifted = bool(geo.shift[1] or geo.shift[2])
     d_seam = bool(geo.shift[0])
     need_cache = use_frag or hw_shifted
+    _check_frag_grid(geo)
 
     def kernel(q_ref, k_ref, v_ref, relb_ref, *rest):
         rest = list(rest)
@@ -879,13 +896,11 @@ def _make_train_bwd_kernel(geo: WindowGeometry, scale: float, G: int):
                 def fill(i, _):
                     gate, seam = _pattern_gate_seam(geo, pc * G + i)
                     if use_frag:
-                        b = relb_ref[0] * gate + fragb_ref[0] * (1.0 - gate)
                         gate_ref[i] = gate
-                    else:
-                        b = relb_ref[0] + jnp.float32(0.0)
-                    if hw_shifted:
-                        b = jnp.where(seam, b, b - 100.0)
-                    cache_ref[i] = b
+                    cache_ref[i] = _blend_bias(
+                        geo, gate, seam, relb_ref[0],
+                        fragb_ref[0] if use_frag else None,
+                    )
                     return 0
 
                 jax.lax.fori_loop(0, G, fill, 0)

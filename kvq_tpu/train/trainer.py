@@ -250,9 +250,20 @@ class Trainer:
             ema, _ = ckpt.merge_params(self.state.ema_params, loaded["ema_params"])
         opt_state = self.state.opt_state
         if "opt_state" in loaded:
-            opt_state = _fser.from_state_dict(
-                self.state.opt_state, loaded["opt_state"]
-            )
+            try:
+                opt_state = _fser.from_state_dict(
+                    self.state.opt_state, loaded["opt_state"]
+                )
+            except (KeyError, ValueError) as e:
+                raise ValueError(
+                    f"checkpoint opt_state at {path!r} does not match the "
+                    "current optimizer structure.  Checkpoints written "
+                    "before the frozen-subtree optimizer mask (optax."
+                    "masked adamw) have a different opt_state pytree and "
+                    "cannot resume optimizer moments; re-save from a "
+                    "current run, or load weights only by stripping "
+                    "'opt_state' from the checkpoint."
+                ) from e
         self.state = TrainState(
             params=params,
             batch_stats=stats,
