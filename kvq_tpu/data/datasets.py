@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import csv
 import os.path as osp
+import zlib
 from typing import Any, Callable
 
 import numpy as np
@@ -346,8 +347,11 @@ def make_synthetic_opt(
         "phase": phase,
         "seed": seed,
         "sample_types": sample_types or {},
+        # NOTE: zlib.crc32, NOT hash() — python string hashing is salted
+        # per process, which would give every process (multi-host tests,
+        # test re-runs) different synthetic data for the same name.
         "source_factory": lambda path: SyntheticVideoSource(
-            n_frames, height, width, seed=hash(path) % (2**31)
+            n_frames, height, width, seed=zlib.crc32(path.encode()) % (2**31)
         ),
     }
     if with_features:
@@ -355,7 +359,7 @@ def make_synthetic_opt(
         # = clip_len of its config, fusion_datasets.py:860)
         n_feat = next(iter(sample_types.values())).get("clip_len", 8)
         opt["feature_factory"] = lambda name: np.random.default_rng(
-            abs(hash(name)) % (2**31)
+            zlib.crc32(name.encode()) % (2**31)
         ).normal(size=(n_feat, 2304)).astype(np.float32)
         opt["data_prefix_3D"] = ""
         opt["feature_type"] = "SlowFast"
