@@ -92,6 +92,29 @@ def main():
     out = tr.inference_test(f"/tmp/mp_eval_work_{rank}/output.txt")
     print("NROWS", len(out), flush=True)
 
+    # --- train path: one epoch of the shard_map DDP step across processes
+    # (global batch assembled per process; grads psum'd over the wire).
+    # 16 videos / local batch 8 -> one step, 2 rows per device (the
+    # correlation losses need >=2 rows per shard).
+    train_opt = make_synthetic_opt(
+        n_videos=16, n_frames=60, height=72, width=96,
+        sample_types=SAMPLE_TYPES, phase="train", with_features=True,
+    )
+    cfg_t = dict(cfg)
+    cfg_t["data"] = {
+        "train": {"type": "SimpleVQADataset", "args": train_opt},
+        "val": {"type": "SimpleVQADataset", "args": val_opt},
+    }
+    cfg_t["batch_size"] = 8
+    mesh_t = make_mesh(data=8, fsdp=1)
+    trt = Trainer(cfg_t, workdir=f"/tmp/mp_train_work_{rank}", mesh=mesh_t)
+    trt.build_datasets()
+    sample = next(trt.val_loader.epoch(0))
+    trt.build_models(sample, seed=0)
+    aux = trt.train_epoch(0, jax.random.key(0))
+    print("TRAINAUX", json.dumps({k: float(v) for k, v in aux.items()}),
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

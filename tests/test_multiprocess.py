@@ -80,3 +80,18 @@ def test_two_process_eval_matches_single_process():
     # inference_test dedupes the wrap duplicate: exactly N_VAL rows
     assert _nrows(res[0][1]) == N_VAL
     assert _nrows(res[1][1]) == N_VAL
+
+    # DDP train step across processes: psum'd aux is replicated — both
+    # ranks must report the identical finite loss
+    def _aux(out):
+        for line in out.splitlines():
+            if line.startswith("TRAINAUX "):
+                return json.loads(line[len("TRAINAUX "):])
+        raise AssertionError(f"no TRAINAUX line in: {out!r}")
+
+    a0, a1 = _aux(res[0][1]), _aux(res[1][1])
+    assert a0 == a1, (a0, a1)  # psum'd aux replicated across ranks
+    assert all(np.isfinite(v) for v in a0.values()), a0
+    # (no world=1 comparison: global batch composition differs, so the
+    # per-step loss legitimately differs — replication + finiteness is
+    # the cross-process contract here)
