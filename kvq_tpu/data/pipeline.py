@@ -77,14 +77,14 @@ class Loader:
             idx = np.random.default_rng((self.seed, epoch)).permutation(n)
         k, world = self.shard
         if world > 1 and n > 0:
-            # Equal-length shards by wrapping (torch DistributedSampler
+            # Equal-length shards by cyclic tiling (torch DistributedSampler
             # parity, trainer_ddp.py:144-156): every host must run the
             # SAME number of batches per epoch or per-batch SPMD
             # collectives deadlock; duplicated samples are deduped at the
-            # eval consumer via sample_index.
+            # eval consumer via sample_index.  np.resize tiles, so this
+            # holds even when the dataset is smaller than the world size.
             total = -(-n // world) * world
-            if total > n:
-                idx = np.concatenate([idx, idx[: total - n]])
+            idx = np.resize(idx, total)
         return idx[k::world]
 
     def __len__(self) -> int:
@@ -124,6 +124,10 @@ class Loader:
                         self.dataset.__getitem__(int(j), epoch=epoch) for j in idxs
                     ]
                     batch = collate(items)
+                    # authoritative global dataset positions — lets mesh /
+                    # multi-host eval tag and dedupe rows for ANY dataset
+                    # (overwrites the identical dataset-emitted values)
+                    batch["sample_index"] = np.asarray(idxs, np.int32)
                 except Exception as e:  # surface errors to the consumer
                     batch = {"__error__": e}
                 with done_lock:

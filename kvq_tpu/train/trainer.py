@@ -50,9 +50,15 @@ ARRAY_BATCH_KEYS = (
 )
 
 
-def array_batch(batch: dict) -> dict:
-    """Strip a collated batch to the jit-traceable array fields."""
-    return {k: jnp.asarray(batch[k]) for k in ARRAY_BATCH_KEYS if k in batch}
+def array_batch(batch: dict, to_device: bool = True) -> dict:
+    """Strip a collated batch to the jit-traceable array fields.
+
+    ``to_device=False`` keeps numpy arrays — mesh paths hand the batch to
+    ``shard_batch`` which performs the (possibly multi-host) placement
+    itself; a premature single-device jnp.asarray would just add a
+    device round-trip."""
+    conv = jnp.asarray if to_device else np.asarray
+    return {k: conv(batch[k]) for k in ARRAY_BATCH_KEYS if k in batch}
 
 
 def ser_to_state(opt_state):
@@ -383,7 +389,9 @@ class Trainer:
                 )
             for batch in self.train_loader.epoch(epoch):
                 rng, step_rng = jax.random.split(rng)
-                sb = shd.shard_batch(self.mesh, array_batch(batch))
+                sb = shd.shard_batch(
+                    self.mesh, array_batch(batch, to_device=False)
+                )
                 self.state, aux = self._mesh_train_step(
                     self.state, sb, step_rng
                 )
@@ -413,9 +421,15 @@ class Trainer:
         gather (the dist.all_gather analog, trainer_ddp.py:259-267)."""
         n = int(np.asarray(batch["label"]).reshape(-1).shape[0])
         if "sample_index" not in batch:
-            # custom datasets without indices: synthesize a host-local
-            # running position (unique per epoch on one process; multi-host
-            # mesh eval needs real dataset indices — all built-ins emit them)
+            # The Loader stamps authoritative global dataset positions on
+            # every batch; hand-built batches (tests, direct calls) get a
+            # host-local running position instead.  That is only valid on
+            # one process — multi-host mesh dedupe needs global indices.
+            if self.mesh is not None and jax.process_count() > 1:
+                raise ValueError(
+                    "multi-host mesh eval requires batches with "
+                    "'sample_index' (the Loader adds it automatically)"
+                )
             batch = dict(batch)
             batch["sample_index"] = np.arange(
                 self._eval_row_pos, self._eval_row_pos + n, dtype=np.int32
@@ -424,7 +438,7 @@ class Trainer:
         eb = self.eval_batch_size()
         batch = pad_batch_rows(batch, eb)
         rb = self._reshape_for_clips(batch)
-        ab = array_batch(rb)
+        ab = array_batch(rb, to_device=self.mesh is None)
         if self.mesh is not None:
             from ..parallel import sharding as shd
             from ..parallel import steps as psteps
@@ -464,18 +478,26 @@ class Trainer:
         return per_video[:n].tolist(), None, None
 
     def _eval_scores(self, params, batch: dict) -> tuple[list, list]:
-        """Score one (possibly padded) eval batch -> per-video preds+labels."""
+        """Score one (possibly padded) eval batch -> per-video preds+labels.
+
+        On a multi-host mesh the tagged step returns GLOBAL rows — those
+        are returned with their own passthrough labels (local trimming
+        would mispair other hosts' predictions with local labels)."""
         n, out, labels = self._eval_dispatch(params, batch)
-        preds, _, _ = self._eval_collect(n, out)
+        preds, gidx, glab = self._eval_collect(n, out)
+        if gidx is not None and jax.process_count() > 1:
+            return preds, glab
         return preds[:n], labels
 
     def _eval_batches(self, params):
-        """Yield ``(batch, per_video_scores)`` in loader order, keeping up
-        to ``eval_pipeline_depth`` (default 2) dispatched batches in
-        flight so batch N+1's host prep + H2D copy overlaps batch N's
-        device scoring.  Set ``eval_pipeline_depth: 1`` in the config to
-        restore strictly-sequential eval (one batch resident on device)
-        when eval_batch_size is tuned to the HBM limit."""
+        """Yield ``(batch, n_valid, (preds, gidx, glab))`` in loader order
+        — the last element is ``_eval_collect``'s triple (gidx/glab are
+        None on the local-jit path) — keeping up to ``eval_pipeline_depth``
+        (default 2) dispatched batches in flight so batch N+1's host prep
+        + H2D copy overlaps batch N's device scoring.  Set
+        ``eval_pipeline_depth: 1`` in the config to restore strictly-
+        sequential eval (one batch resident on device) when
+        eval_batch_size is tuned to the HBM limit."""
         depth = max(1, int(self.config.get("eval_pipeline_depth", 2)))
         self._eval_row_pos = 0  # synthetic-index counter, see _eval_dispatch
         pending: list[tuple[dict, int, Any]] = []
@@ -511,6 +533,16 @@ class Trainer:
             for x in gathered[k, : counts[k]]
         ]
 
+    @staticmethod
+    def _merge_rows(seen: dict, order: list, gidx, *cols) -> None:
+        """First-occurrence merge of tagged rows: dedupes the shard-wrap /
+        batch-padding duplicates by dataset index (shared by evaluate and
+        inference_test)."""
+        for row in zip(gidx, *cols):
+            if row[0] not in seen:
+                seen[row[0]] = row[1:]
+                order.append(row[0])
+
     def evaluate(self, use_ema: bool = False) -> tuple:
         """Validation pass, double-buffered: batch N+1's pad/reshape and
         H2D copy run while the device scores batch N (the readback in
@@ -526,12 +558,8 @@ class Trainer:
                 lab = np.asarray(batch["label"], np.float64).reshape(-1)
                 labels.extend(lab[:n].tolist())
             else:
-                # mesh path: rows are global and tagged; dedupe the shard
-                # wrap / batch padding duplicates by dataset index
-                for i, s, l in zip(gidx, p, glab):
-                    if i not in seen:
-                        seen[i] = (s, l)
-                        order.append(i)
+                # mesh path: rows are global and tagged
+                self._merge_rows(seen, order, gidx, p, glab)
         if order:
             preds = [seen[i][0] for i in order]
             labels = [seen[i][1] for i in order]
@@ -590,27 +618,36 @@ class Trainer:
         """Working equivalent of the reference's broken ``test.py`` entry
         (SURVEY.md §5.1.1): writes ``video_name,score`` lines."""
         assert self.state is not None and self.val_loader is not None
+        multi = jax.process_count() > 1
+        infos = getattr(self.val_loader.dataset, "video_infos", None)
+        if multi and infos is None:
+            raise ValueError(
+                "multi-host inference_test needs the dataset to expose "
+                "video_infos so global rows can be named"
+            )
+
+        def name_of(i: int, name_map: dict) -> str:
+            return infos[i]["video_name"] if infos is not None else name_map[i]
+
         results: list[tuple] = []
         local_idx: list[int] = []
-        seen: set[int] = set()
-        infos = getattr(self.val_loader.dataset, "video_infos", None)
+        name_map: dict[int, str] = {}
+        seen: dict[int, tuple] = {}
+        order: list[int] = []
         for batch, n, (p, gidx, _) in self._eval_batches(self.state.params):
+            bi = np.asarray(batch["sample_index"]).reshape(-1)
+            name_map.update(zip(
+                (int(i) for i in bi), list(batch["video_name"])
+            ))
             if gidx is None:
                 results.extend(zip(list(batch["video_name"])[:n], p[:n]))
-                bi = np.asarray(batch.get("sample_index", [])).reshape(-1)
                 local_idx.extend(int(i) for i in bi[:n])
             else:
                 # mesh path: global tagged rows — dedupe wrap/pad duplicates
-                names = (
-                    [infos[i]["video_name"] for i in gidx]
-                    if infos is not None
-                    else list(batch["video_name"])
-                )
-                for i, name, s in zip(gidx, names, p):
-                    if i not in seen:
-                        seen.add(i)
-                        results.append((name, s))
-        if not seen and jax.process_count() > 1 and infos is not None:
+                self._merge_rows(seen, order, gidx, p)
+        if order:
+            results = [(name_of(i, name_map), seen[i][0]) for i in order]
+        elif multi:
             # local-jit multi-host: every host scored only its loader
             # shard — merge by (dataset index, score) before writing
             gi = [int(x) for x in self._global_gather([float(i) for i in local_idx])]
@@ -618,9 +655,7 @@ class Trainer:
             merged: dict[int, float] = {}
             for i, s in zip(gi, gs):
                 merged.setdefault(i, s)
-            results = [
-                (infos[i]["video_name"], merged[i]) for i in sorted(merged)
-            ]
+            results = [(name_of(i, name_map), merged[i]) for i in sorted(merged)]
         if jax.process_index() == 0:
             with open(output_path, "w") as f:
                 for name, score in results:

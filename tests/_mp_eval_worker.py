@@ -92,6 +92,11 @@ def main():
     out = tr.inference_test(f"/tmp/mp_eval_work_{rank}/output.txt")
     print("NROWS", len(out), flush=True)
 
+    if world == 1:
+        return  # the train section below is sized for world=2 (2 rows per
+        # device); at world=1 it would run 1-row shards (undefined plcc)
+        # and the parent only asserts the world=2 TRAINAUX anyway
+
     # --- train path: one epoch of the shard_map DDP step across processes
     # (global batch assembled per process; grads psum'd over the wire).
     # 16 videos / local batch 8 -> one step, 2 rows per device (the
