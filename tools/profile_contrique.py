@@ -68,6 +68,33 @@ def main():
             f" | trunk+proj {(t_full - t_patch)*1e3:7.2f} ms",
             flush=True,
         )
+        if B > 1:
+            # fix hypothesis for the superlinear B=1->4 dist cut: chunk the
+            # batch back to per-video programs (lax.map), reproducing the
+            # B=1-optimal XLA layout at the cost of serialization
+            def chunked(xx):
+                return jax.lax.map(lambda v: model.apply(vs, v[None]), xx)
+
+            t_chunk = timed(chunked, x)
+            print(f"B={B}: lax.map per-video {t_chunk*1e3:7.2f} ms",
+                  flush=True)
+
+    # trunk-only patch-count scaling (layout isolation: no patchify, no
+    # projector) — superlinearity here implicates XLA's conv scheduling
+    from kvq_tpu.nn.resnet import ResNetTrunk
+
+    trunk = ResNetTrunk(layers=(3, 4, 6, 3), dtype=dt)
+    p0 = jnp.asarray(rng.normal(size=(2352, 32, 32, 3)), dt)
+    tvs = jax.jit(lambda: trunk.init(jax.random.key(1), p0, train=False))()
+    jax.block_until_ready(tvs)
+    for n_patch in (2352, 4704, 9408):
+        p = jnp.asarray(rng.normal(size=(n_patch, 32, 32, 3)), dt)
+        t_tr = timed(lambda pp: trunk.apply(tvs, pp, train=False)[-1], p)
+        print(
+            f"trunk N={n_patch}: {t_tr*1e3:7.2f} ms"
+            f" ({t_tr/n_patch*1e6:5.2f} us/patch)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
