@@ -25,23 +25,26 @@ def main():
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
 
-    def timed(fn, x, n=4):
+    def timed(fn, x, variables=None, n=4):
+        # variables passed explicitly — closure-captured device arrays
+        # serialize into the program as constants and blow the remote
+        # compile request (HTTP 413 through the axon tunnel)
         @jax.jit
-        def many(x):
+        def many(vs, x):
             acc = jnp.float32(0)
             xx = x
             for _ in range(n):
-                y = fn(xx)
+                y = fn(vs, xx)
                 s = jnp.sum(y.astype(jnp.float32))
                 acc += s
                 xx = x + (s * jnp.float32(1e-9)).astype(x.dtype)
             return acc
 
-        float(many(x))
+        float(many(variables, x))
         best = 1e9
         for _ in range(3):
             t0 = time.time()
-            float(many(x))
+            float(many(variables, x))
             best = min(best, time.time() - t0)
         return best / n
 
@@ -61,8 +64,8 @@ def main():
                 .reshape(Bq * Tq * gh * gw, a, a, C)
             )
 
-        t_patch = timed(patchify, x)
-        t_full = timed(lambda xx: model.apply(vs, xx), x)
+        t_patch = timed(lambda _vs, xx: patchify(xx), x)
+        t_full = timed(lambda vv, xx: model.apply(vv, xx), x, vs)
         print(
             f"B={B}: patchify {t_patch*1e3:7.2f} ms | full {t_full*1e3:7.2f} ms"
             f" | trunk+proj {(t_full - t_patch)*1e3:7.2f} ms",
@@ -72,10 +75,10 @@ def main():
             # fix hypothesis for the superlinear B=1->4 dist cut: chunk the
             # batch back to per-video programs (lax.map), reproducing the
             # B=1-optimal XLA layout at the cost of serialization
-            def chunked(xx):
-                return jax.lax.map(lambda v: model.apply(vs, v[None]), xx)
+            def chunked(vv, xx):
+                return jax.lax.map(lambda v: model.apply(vv, v[None]), xx)
 
-            t_chunk = timed(chunked, x)
+            t_chunk = timed(chunked, x, vs)
             print(f"B={B}: lax.map per-video {t_chunk*1e3:7.2f} ms",
                   flush=True)
 
@@ -89,7 +92,9 @@ def main():
     jax.block_until_ready(tvs)
     for n_patch in (2352, 4704, 9408):
         p = jnp.asarray(rng.normal(size=(n_patch, 32, 32, 3)), dt)
-        t_tr = timed(lambda pp: trunk.apply(tvs, pp, train=False)[-1], p)
+        t_tr = timed(
+            lambda vv, pp: trunk.apply(vv, pp, train=False)[-1], p, tvs
+        )
         print(
             f"trunk N={n_patch}: {t_tr*1e3:7.2f} ms"
             f" ({t_tr/n_patch*1e6:5.2f} us/patch)",
