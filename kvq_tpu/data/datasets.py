@@ -176,6 +176,14 @@ class KVQDataset(_ViewDatasetBase):
         data["sample_index"] = int(index)
         data["name"] = info["filename"]
         data["video_name"] = info["video_name"]
+        # opt-in: ship the fragment space-to-depth packed (s2d_pack) so the
+        # model's patch embed is a plain matmul — requires the model side
+        # to run with ``s2d_input: true`` (nn/ksvqe.py); bitwise-identical
+        # outputs (tests/test_s2d.py)
+        if self.opt.get("fragment_s2d", False):
+            from .fragments import s2d_pack
+
+            data["fragment"] = s2d_pack(np.ascontiguousarray(data["fragment"]))
         return data
 
 

@@ -226,3 +226,41 @@ def get_spatial_cropped_fragments(
         fallback_type=fallback_type,
         rng=rng,
     )
+
+
+def s2d_pack(video: np.ndarray, patch: tuple[int, int, int] = (2, 4, 4)) -> np.ndarray:
+    """Space-to-depth + temporal-pair packing of a fragment mosaic (host
+    side).  (T, H, W, C) -> (T/pt, H/ph, W/pw, pt*ph*pw*C), packing each
+    patch's elements in (ti, hi, wi, c) order — exactly the flatten order
+    of the PatchEmbed3D conv kernel (pt, ph, pw, C, F), so the device-side
+    embed becomes one plain matmul with NO C=3-minor relayout (the ~10 GB/s
+    wall documented in nn/layers.py).
+
+    The QRS region selection commutes with this packing: a 32x32 anchor
+    cell becomes an 8x8x(48) cell (anchor 32/ph = 8), and the keyframe
+    group of both frames in a temporal pair is identical whenever T is a
+    multiple of 8 (keyframe thresholds t/4-1, t/2-1, 3t/4-1 all fall on
+    pair boundaries), so selection at pair granularity is exact.  The
+    packed mosaic therefore produces BITWISE-identical model outputs
+    (tests/test_s2d.py).
+    """
+    pt, ph, pw = patch
+    T, H, W, C = video.shape
+    assert T % pt == 0 and H % ph == 0 and W % pw == 0, (T, H, W, patch)
+    return np.ascontiguousarray(
+        video.reshape(T // pt, pt, H // ph, ph, W // pw, pw, C)
+        .transpose(0, 2, 4, 1, 3, 5, 6)
+        .reshape(T // pt, H // ph, W // pw, pt * ph * pw * C)
+    )
+
+
+def s2d_unpack(packed: np.ndarray, patch: tuple[int, int, int] = (2, 4, 4)) -> np.ndarray:
+    """Inverse of :func:`s2d_pack` (host side, exact)."""
+    pt, ph, pw = patch
+    T2, Hp, Wp, K = packed.shape
+    C = K // (pt * ph * pw)
+    return np.ascontiguousarray(
+        packed.reshape(T2, Hp, Wp, pt, ph, pw, C)
+        .transpose(0, 3, 1, 4, 2, 5, 6)
+        .reshape(T2 * pt, Hp * ph, Wp * pw, C)
+    )

@@ -32,7 +32,12 @@ from .cdm import AdapterMLP, CrossAttention, DistFiLM, SemanticFiLM, TemporalAtt
 from .clip_vit import CLIPVisionTower
 from .contrique import CONTRIQUE
 from .layers import PatchEmbed3D
-from .regionnet import RegionSelector, keyframe_schedule
+from .regionnet import (
+    RegionSelector,
+    extract_region_hard,
+    extract_region_weighted,
+    keyframe_schedule,
+)
 from .swin import SwinConfig, make_stages
 
 
@@ -57,6 +62,10 @@ class KSVQEConfig:
     frag_biases: tuple[bool, ...] = (True, True, True, False)
     use_checkpoint: bool = True
     use_pallas: bool = False
+    # fragment arrives space-to-depth packed from the host
+    # (data/fragments.py:s2d_pack) — removes the on-device C=3-minor
+    # patch-embed relayout; bitwise-identical outputs (tests/test_s2d.py)
+    s2d_input: bool = False
     # reduced-geometry knobs for tests/dry-runs (defaults = paper shapes)
     contrique_layers: tuple[int, ...] = (3, 4, 6, 3)
     clip_layers: int = 12
@@ -78,6 +87,7 @@ def ksvqe_config(bb: dict | None) -> KSVQEConfig:
         a2=float(bb.get("a2", 0.0)),
         use_checkpoint=bool(bb.get("checkpoint", True)),
         use_pallas=bool(bb.get("use_pallas", False)),
+        s2d_input=bool(bb.get("s2d_input", False)),
         drop_path_rate=float(bb.get("drop_path_rate", 0.1)),
         anchor_size=int(bb.get("anchor_size", 32)),
         region_k=int(bb.get("region_k", 49)),
@@ -188,12 +198,66 @@ class KSVQE(nn.Module):
             "a2", lambda k, s: jnp.full(s, self.config.a2, jnp.float32), (n_mod, 1)
         )
 
+    def _select_and_embed_packed(self, fragment, cls_attn, group_id, *,
+                                 train: bool, key):
+        """QRS + patch embed on an s2d-packed fragment
+        (data/fragments.py:s2d_pack): (B, T/2, H/4, W/4, 96).
+
+        Keyframe-group boundaries fall at ODD frame indices
+        (keyframe_schedule thresholds t/4-1, ...), so the two frames of a
+        temporal pair can select different regions.  Exactness is kept by
+        applying each original frame's choice to its own channel half of
+        the packed mosaic (ti=0 -> [:48], ti=1 -> [48:]) — two
+        half-channel extractions cost the same HBM traffic as one full
+        one.  The even half (frames ::2) doubles as the detached
+        distortion-tool input after an on-device s2d unpack (fwd-only,
+        half the frames of the standard path's relayout).
+
+        Returns (trunk tokens (B, T/2, 56, 56, 96), dist pixels
+        (B, T/2, 224, 224, 3))."""
+        cfg = self.config
+        pt, ph, pw = cfg.patch_size
+        assert pt == 2, "s2d_input requires temporal patch 2"
+        B, T2, Hp, Wp, K = fragment.shape
+        Cs = K // pt  # per-frame packed channels (ph*pw*3 = 48)
+        anchor = self.selector.anchor // ph  # 32/4 = 8 packed pixels
+        k_side = self.selector.k_side
+        sel = self.selector.select(
+            cls_attn, group_id, (Hp // anchor, Wp // anchor),
+            train=train, key=key,
+        )  # (B, T, nR) soft weights | (B, T) hard indices
+        halves = []
+        for ti in range(pt):
+            half = fragment[..., ti * Cs : (ti + 1) * Cs]
+            if train:
+                halves.append(extract_region_weighted(
+                    half, sel[:, ti::pt], anchor, k_side
+                ))
+            else:
+                halves.append(extract_region_hard(
+                    half, sel[:, ti::pt], anchor, k_side
+                ))
+        x_sel = jnp.concatenate(halves, axis=-1)  # (B,T/2,56,56,96)
+        x = self.patch_embed(x_sel, packed=True)
+        # distortion pixels: unpack the detached even half to (224,224,3)
+        ev = jax.lax.stop_gradient(halves[0])
+        _, _, h2, w2, _ = ev.shape
+        dist_in = (
+            ev.reshape(B, T2, h2, w2, ph, pw, Cs // (ph * pw))
+            .transpose(0, 1, 2, 4, 3, 5, 6)
+            .reshape(B, T2, h2 * ph, w2 * pw, Cs // (ph * pw))
+        )
+        return x, dist_in
+
     def __call__(self, batch, *, train: bool = False):
         cfg = self.config
         revideo = batch["resize_video"].astype(self.dtype)  # (B,T,h,w,3)
-        fragment = batch["fragment"].astype(self.dtype)  # (B,T,H,W,3)
+        # standard: (B,T,H,W,3); s2d_input: (B,T/pt,H/ph,W/pw,pt*ph*pw*3)
+        fragment = batch["fragment"].astype(self.dtype)
         dis_label = batch["dis_label"]
-        B, T = fragment.shape[0], fragment.shape[1]
+        B = fragment.shape[0]
+        T = fragment.shape[1] * (cfg.patch_size[0] if cfg.s2d_input else 1)
+        assert T == revideo.shape[1], (fragment.shape, revideo.shape)
 
         # --- keyframes + CLIP semantic tool (static schedule)
         keyframes, group_id = keyframe_schedule(T)
@@ -213,15 +277,20 @@ class KSVQE(nn.Module):
 
         # --- QRS region selection
         qrs_key = self.make_rng("qrs") if train else None
-        x_sel_ori = self.selector(
-            fragment, cls_attn, group_id, train=train, key=qrs_key
-        )  # (B, T, 224, 224, 3)
+        if cfg.s2d_input:
+            x, dist_in = self._select_and_embed_packed(
+                fragment, cls_attn, group_id, train=train, key=qrs_key
+            )
+        else:
+            x_sel_ori = self.selector(
+                fragment, cls_attn, group_id, train=train, key=qrs_key
+            )  # (B, T, 224, 224, 3)
 
-        # --- trunk tokens
-        x = self.patch_embed(x_sel_ori)  # (B, T/2, 56, 56, 96)
+            # --- trunk tokens
+            x = self.patch_embed(x_sel_ori)  # (B, T/2, 56, 56, 96)
 
-        # --- distortion tokens on detached, temporally-halved selection
-        dist_in = jax.lax.stop_gradient(x_sel_ori)[:, ::2]
+            # distortion input: detached, temporally-halved selection
+            dist_in = jax.lax.stop_gradient(x_sel_ori)[:, ::2]
         dist_tok = self.distortion_tool(dist_in)  # (B, T/2, G, 128)
         dist_tok = 0.2 * self.dist_adapter(dist_tok) + 0.8 * dist_tok
         dis_loss = distortion_contrastive_supervised(dist_tok, dis_label)

@@ -73,16 +73,25 @@ class _PatchProj(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        # x: (B, T, H, W, C) with dims divisible by patch_size
+    def __call__(self, x, *, packed: bool = False, in_channels: int = 3):
+        # x: (B, T, H, W, C) with dims divisible by patch_size, or —
+        # when ``packed`` — the s2d-packed (B, T/pt, H/ph, W/pw,
+        # pt*ph*pw*in_channels) form (data/fragments.py:s2d_pack)
         pt, ph, pw = self.patch_size
-        B, T, H, W, C = x.shape
+        C = in_channels if packed else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (pt, ph, pw, C, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if packed:
+            assert x.shape[-1] == pt * ph * pw * C, x.shape
+            w = kernel.reshape(pt * ph * pw * C, self.features).astype(
+                self.dtype
+            )
+            return x.astype(self.dtype) @ w + bias.astype(self.dtype)
+        B, T, H, W, C = x.shape
         x = x.reshape(B, T // pt, pt, H // ph, ph, W // pw, pw, C)
         x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         x = x.reshape(B, T // pt, H // ph, W // pw, pt * ph * pw * C)
@@ -115,8 +124,22 @@ class PatchEmbed3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, packed: bool = False):
         pt, ph, pw = self.patch_size
+        if packed:
+            # x is already space-to-depth packed (data/fragments.py
+            # s2d_pack): (B, T/pt, H/ph, W/pw, pt*ph*pw*C) in the kernel's
+            # (ti, hi, wi, c) flatten order — the embed is one plain
+            # matmul, skipping the C=3-minor relayout entirely.
+            x = _PatchProj(
+                patch_size=self.patch_size,
+                features=self.embed_dim,
+                dtype=self.dtype,
+                name="proj",
+            )(x, packed=True)
+            if self.use_norm:
+                x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            return x
         _, T, H, W, _ = x.shape
         pads = [(0, 0)]
         for dim, p in ((T, pt), (H, ph), (W, pw)):

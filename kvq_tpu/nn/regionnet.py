@@ -151,12 +151,30 @@ class RegionSelector:
         """fragment (B,T,H,W,C); cls_attn (B, n_key, L);
         group_id: tuple of length T (static)."""
         B, T = fragment.shape[0], fragment.shape[1]
+        grid_hw = (
+            fragment.shape[2] // self.anchor,
+            fragment.shape[3] // self.anchor,
+        )
+        sel = self.select(cls_attn, group_id, grid_hw, train=train, key=key)
+        if not train:
+            return extract_region_hard(
+                fragment, sel, self.anchor, self.k_side
+            )
+        return extract_region_weighted(
+            fragment, sel, self.anchor, self.k_side
+        )
+
+    def select(self, cls_attn, group_id, grid_hw, *, train: bool, key=None):
+        """Region choice only (no extraction): per-frame soft weights
+        (B, T, nR) when training, hard indices (B, T) at eval.  Split out
+        so the s2d-packed input path (nn/ksvqe.py) can apply the same
+        choice to each temporal-pair half independently — keyframe-group
+        boundaries fall at odd frame indices (keyframe_schedule), so the
+        two frames of a packed pair can belong to different groups."""
         b_nk, L = cls_attn.shape[0] * cls_attn.shape[1], cls_attn.shape[2]
-        n_key = cls_attn.shape[1]
-        gh = fragment.shape[2] // self.anchor
-        gw = fragment.shape[3] // self.anchor
+        B, n_key = cls_attn.shape[0], cls_attn.shape[1]
         scores = region_scores(
-            cls_attn.reshape(b_nk, L), (gh, gw), self.k_side, self.stride
+            cls_attn.reshape(b_nk, L), grid_hw, self.k_side, self.stride
         )  # (B*n_key, nR)
 
         if train and self.sample_type == "topkpertubation":
@@ -190,18 +208,12 @@ class RegionSelector:
             # eval: hard top-1 -> a real gather, not a one-hot weighted sum
             gid = jnp.asarray(group_id, jnp.int32)  # (T,)
             key_idx = jnp.argmax(scores, axis=-1).reshape(B, n_key)
-            frame_idx = key_idx[:, gid]  # (B, T)
-            return extract_region_hard(
-                fragment, frame_idx, self.anchor, self.k_side
-            )
+            return key_idx[:, gid]  # (B, T)
 
         nR = ind.shape[-1]
         key_weights = ind.reshape(B, n_key, nR)
         gid = jnp.asarray(group_id, jnp.int32)  # (T,)
-        frame_weights = key_weights[:, gid]  # (B, T, nR)
-        return extract_region_weighted(
-            fragment, frame_weights, self.anchor, self.k_side
-        )
+        return key_weights[:, gid]  # (B, T, nR)
 
 
 class PredictorLG(_fnn.Module):

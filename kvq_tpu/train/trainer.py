@@ -151,6 +151,19 @@ class Trainer:
         # analog (reference trainer_ddp.py:144,156); single-process this
         # is (0, 1) = the full list.
         shard = (jax.process_index(), jax.process_count())
+        # model-side s2d_input needs the loader to ship packed fragments —
+        # bridge the flag so configs only have to set it once (model.args)
+        s2d = bool(
+            self.config["model"]
+            .get("args", {})
+            .get(self.config["model"]["type"], {})
+            .get("backbone", {})
+            .get("s2d_input", False)
+        )
+        if s2d:
+            for split in ("train", "val"):
+                if split in data_cfg:
+                    data_cfg[split]["args"]["fragment_s2d"] = True
         if "train" in data_cfg:
             ds = DATASETS.get(data_cfg["train"]["type"])(data_cfg["train"]["args"])
             self.train_loader = Loader(

@@ -91,19 +91,50 @@ def main():
             )
         raise ValueError(cut)
 
+    from kvq_tpu.train.optim import KSVQE_FROZEN_PATTERNS, trainable_mask
+
+    # Differentiate w.r.t. the TRAINABLE subtree only — the real train
+    # step's masked AdamW makes frozen-tower gradients dead values, so XLA
+    # DCEs that backward (optim.py:build_optimizer).  Reading every
+    # trainable leaf's grad prevents the opposite failure: an earlier
+    # version consumed only grads-leaf[0], which let XLA DCE most of the
+    # backward and undercount every marginal.
+    def split_params(params):
+        mask = trainable_mask(params, KSVQE_FROZEN_PATTERNS)
+        train_p = jax.tree_util.tree_map(
+            lambda m, p: p if m else None, mask, params,
+            is_leaf=lambda x: x is None,
+        )
+        frozen_p = jax.tree_util.tree_map(
+            lambda m, p: None if m else p, mask, params,
+            is_leaf=lambda x: x is None,
+        )
+        return train_p, frozen_p
+
+    def merge_params(train_p, frozen_p):
+        return jax.tree_util.tree_map(
+            lambda a, b: a if a is not None else b, train_p, frozen_p,
+            is_leaf=lambda x: x is None,
+        )
+
     def timed_grad(make_loss, n_rep=3):
         @jax.jit
         def g(vs, b, key):
-            def loss_fn(p):
-                return make_loss({"params": p, **{
-                    k: v for k, v in vs.items() if k != "params"
-                }}, b, key)
+            train_p, frozen_p = split_params(vs["params"])
 
-            l, grads = jax.value_and_grad(loss_fn)(vs["params"])
-            return l + sum(
-                jnp.sum(jnp.abs(x).astype(jnp.float32)) * 0
-                for x in jax.tree_util.tree_leaves(grads)[:1]
-            ) + jnp.sum(jax.tree_util.tree_leaves(grads)[0].astype(jnp.float32)) * 1e-12
+            def loss_fn(tp):
+                return make_loss({
+                    "params": merge_params(tp, frozen_p),
+                    **{k: v for k, v in vs.items() if k != "params"},
+                }, b, key)
+
+            l, grads = jax.value_and_grad(loss_fn)(train_p)
+            gsum = sum(
+                jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree_util.tree_leaves(grads)
+                if x is not None
+            )
+            return l + gsum * 1e-12
 
         # perturb input each call; force scalar readback
         float(g(variables, batch, jax.random.key(5)))

@@ -79,12 +79,17 @@ def main():
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
+    from kvq_tpu.train.optim import KSVQE_FROZEN_PATTERNS, ema_update
+
+    # frozen_patterns matches the real Trainer (trainer.py:210-219): the
+    # masked AdamW makes the frozen-tower gradients dead values so XLA
+    # DCEs the CLIP/CONTRIQUE backward — omitting it here mismeasures the
+    # step by the frozen backward + full-param moment traffic.
     tx = build_optimizer(
-        params, lr=3e-5, weight_decay=0.05, warmup_iters=50, max_iters=1000
+        params, lr=3e-5, weight_decay=0.05, warmup_iters=50, max_iters=1000,
+        frozen_patterns=KSVQE_FROZEN_PATTERNS,
     )
     opt_state = tx.init(params)
-
-    from kvq_tpu.train.optim import ema_update
 
     @functools.partial(jax.jit, static_argnums=3)
     def train_n(carry, b, key, n):
