@@ -219,6 +219,83 @@ def test_trainer_ksvqe_train_step_uses_qrs_rng(tmp_path):
     assert int(state.step) == 1
 
 
+def test_trainer_bridges_s2d_flag_to_loader(tmp_path):
+    """``s2d_input: true`` in the model backbone config must make the
+    Trainer ship packed fragments (data/fragments.py:s2d_pack) from BOTH
+    loaders and train on them (trainer.py build_datasets bridge)."""
+    import jax
+
+    from kvq_tpu.train.trainer import array_batch
+
+    ksvqe_types = {
+        "technical": dict(
+            fragments_h=5, fragments_w=5, fsize_h=8, fsize_w=8,
+            size_h=32, size_w=32, aligned=8,
+            clip_len=8, frame_interval=1, num_clips=1,
+        )
+    }
+    data_opt = make_synthetic_opt(
+        n_videos=4, n_frames=40, height=48, width=64,
+        sample_types=ksvqe_types, phase="train",
+    )
+    config = {
+        "name": "tiny_ksvqe_s2d",
+        "num_epochs": 1,
+        "l_num_epochs": 0,
+        "warmup_epochs": 0.5,
+        "ema": False,
+        "save_model": False,
+        "batch_size": 2,
+        "num_workers": 0,
+        "seed": 0,
+        "load_path": None,
+        "data": {"train": {"type": "KVQDataset", "args": dict(data_opt)},
+                 "val": {"type": "KVQDataset", "args": dict(data_opt)}},
+        "model": {
+            "type": "KSVQE",
+            "compute_dtype": "float32",
+            "args": {
+                "KSVQE": {
+                    "backbone": {
+                        "num_samples": 2,
+                        "sample_type": "topkpertubation",
+                        "CLIP_location": 8,
+                        "cls_use": True,
+                        "tuning_stage": 1,
+                        "a1": 1,
+                        "a2": 2,
+                        "checkpoint": False,
+                        "s2d_input": True,
+                        "anchor_size": 8,
+                        "region_k": 9,
+                        "embed_dim": 16,
+                        "depths": [1, 1],
+                        "num_heads": [2, 2],
+                        "window_size": [2, 7, 7],
+                        "contrique_layers": [1, 1, 1, 1],
+                        "clip_layers": 2,
+                        "clip_width": 64,
+                        "clip_heads": 4,
+                    },
+                    "head": {"hidden_channels": 16},
+                }
+            },
+        },
+        "optimizer": {"lr": 1e-4, "backbone_lr_mult": 1.0, "wd": 0.05},
+    }
+    tr = Trainer(config, workdir=str(tmp_path))
+    tr.build_datasets()
+    sample = array_batch(next(iter(tr.train_loader)))
+    # (B, T/2, H/4, W/4, 96): 8-frame 40x40 fragment -> (2, 4, 10, 10, 96)
+    assert sample["fragment"].shape == (2, 4, 10, 10, 96)
+    val_batch = next(iter(tr.val_loader))
+    assert np.asarray(val_batch["fragment"]).shape[1:] == (4, 10, 10, 96)
+    tr.build_models(sample)
+    state, aux = tr._train_step(tr.state, sample, jax.random.key(7))
+    assert np.isfinite(float(aux["total_loss"]))
+    assert int(state.step) == 1
+
+
 def test_load_path_merges_params_and_batch_stats(tmp_path):
     """Converted torch checkpoints carry frozen-BN running stats — both
     trees must merge into the built model (trainer.py build_models)."""
