@@ -269,11 +269,20 @@ class KSVQE(nn.Module):
         cls_attn = cls_attn.reshape(B, n_key, L)
         pat_tokens = pat_tokens.reshape(B, n_key, L, -1)
         # CDM consumes only the temporally-halved frames (x has T/2 after
-        # patch embed) — gather just those instead of a full (B,T,L,768)
-        # broadcast then [::2] (reference extend_fullcls_attn semantics,
-        # KSVQE_model.py:1378-1386, restricted to the used subset).
-        gid_half = jnp.asarray(group_id[::2], jnp.int32)
-        half_patch = pat_tokens[:, gid_half]  # (B, T/2, L, 768)
+        # patch embed); each frame attends to its keyframe's tokens
+        # (reference extend_fullcls_attn semantics, KSVQE_model.py:1378-1386,
+        # restricted to the used subset).  The halved group ids form equal
+        # contiguous runs for every shipped T, so the semantic adapter and
+        # cross-attention k/v run on the n_key DISTINCT keyframe token sets
+        # with queries batched per group — 12x less adapter/kv compute at
+        # T=96 than adapting T/2 broadcast copies, identical math.
+        gid_half = group_id[::2]
+        tg = len(gid_half) // max(n_key, 1)
+        sem_grouped = gid_half == tuple(
+            g for g in range(n_key) for _ in range(tg)
+        )
+        if not sem_grouped:  # non-uniform schedule: gather per frame
+            gid_half_ix = jnp.asarray(gid_half, jnp.int32)
 
         # --- QRS region selection
         qrs_key = self.make_rng("qrs") if train else None
@@ -304,10 +313,18 @@ class KSVQE(nn.Module):
             m = l - ts
             n, t, h, w, c = x.shape
 
-            # semantic modulation
-            pt = self.semantic_adapter[m](half_patch).reshape(n * t, L, c)
+            # semantic modulation (adapter on distinct keyframes only)
+            pt_key = self.semantic_adapter[m](pat_tokens)  # (B,n_key,L,c)
             xs = x.reshape(n * t, h * w, c)
-            enh, _ = self.semantic_cross[m](xs, pt)
+            if sem_grouped:
+                enh, _ = self.semantic_cross[m](
+                    x.reshape(n * n_key, tg * h * w, c),
+                    pt_key.reshape(n * n_key, L, c),
+                )
+                enh = enh.reshape(n * t, h * w, c)
+            else:
+                pt = pt_key[:, gid_half_ix].reshape(n * t, L, c)
+                enh, _ = self.semantic_cross[m](xs, pt)
             fors = self.semantic_mod[m](
                 enh.reshape(n * t, h, w, c), x.reshape(n * t, h, w, c)
             ).reshape(n, t, h, w, c)

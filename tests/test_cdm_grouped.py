@@ -1,0 +1,51 @@
+"""Grouped semantic cross-attention == per-frame gather.
+
+kvq_tpu/nn/ksvqe.py batches the CDM semantic cross-attention per
+keyframe group (adapter + k/v projections on the n_key distinct CLIP
+token sets) instead of gathering broadcast copies per frame (reference
+extend_fullcls_attn, KSVQE_model.py:1378-1386).  This locks the
+equivalence: for contiguous equal groups the two forms are the same
+math on the same weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvq_tpu.nn.cdm import AdapterMLP, CrossAttention
+
+
+def test_grouped_semantic_cross_matches_gather():
+    B, n_key, tg, hw, c, L, din = 2, 4, 3, 16, 8, 5, 12
+    t = n_key * tg
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, t, hw, c)), jnp.float32)
+    pat = jnp.asarray(rng.normal(size=(B, n_key, L, din)), jnp.float32)
+    gid = tuple(g for g in range(n_key) for _ in range(tg))
+
+    adapter = AdapterMLP(c)
+    avars = adapter.init(jax.random.key(0), pat)
+    cross = CrossAttention(num_heads=2)
+    cvars = cross.init(
+        jax.random.key(1),
+        jnp.zeros((1, hw, c)),
+        jnp.zeros((1, L, c)),
+    )
+
+    pt_key = adapter.apply(avars, pat)  # (B, n_key, L, c)
+
+    # grouped form (the model's fast path)
+    enh_g, _ = cross.apply(
+        cvars,
+        x.reshape(B * n_key, tg * hw, c),
+        pt_key.reshape(B * n_key, L, c),
+    )
+    enh_g = enh_g.reshape(B * t, hw, c)
+
+    # per-frame gather form (the fallback / reference semantics)
+    pt = pt_key[:, jnp.asarray(gid)].reshape(B * t, L, c)
+    enh_f, _ = cross.apply(cvars, x.reshape(B * t, hw, c), pt)
+
+    np.testing.assert_allclose(
+        np.asarray(enh_g), np.asarray(enh_f), rtol=1e-5, atol=1e-5
+    )
