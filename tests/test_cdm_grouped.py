@@ -49,3 +49,23 @@ def test_grouped_semantic_cross_matches_gather():
     np.testing.assert_allclose(
         np.asarray(enh_g), np.asarray(enh_f), rtol=1e-5, atol=1e-5
     )
+
+
+def test_nonuniform_schedule_falls_back_to_gather():
+    """T=12 halves to groups (0,1,1,2,3,3) — not equal runs — so the model
+    must take the per-frame gather branch.  eval_shape traces the full
+    forward (exercising the branch wiring) without running any compute."""
+    from tests.test_ksvqe import TINY, tiny_batch
+    from kvq_tpu.nn.ksvqe import KSVQE
+
+    model = KSVQE(config=TINY, dtype=jnp.float32)
+    batch = tiny_batch(B=1, T=12, rng_seed=7)
+    shapes = jax.eval_shape(
+        lambda b: model.init(
+            {"params": jax.random.key(0), "qrs": jax.random.key(1)},
+            b,
+            train=False,
+        ),
+        batch,
+    )
+    assert "params" in shapes
