@@ -17,9 +17,21 @@ throughput on A100 (the reference publishes no numbers — BASELINE.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def note(msg):
+    """Progress line on stderr (stdout carries only the final JSON) — the
+    full run is many minutes of remote compiles; silent hangs are
+    undiagnosable through the tunnel otherwise."""
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.monotonic()
 
 # Estimated reference (torch eager, A100, batch 1, eval path) KSVQE
 # throughput.  Derivation: ~0.5 TFLOP/video (Video-Swin-T 96f ~264 GF +
@@ -106,6 +118,7 @@ def measure(B, T=96, reps=3):
         jax.tree_util.tree_leaves(variables["params"])[0].reshape(-1)[0]
     )  # force
     init_s = time.time() - t0
+    note(f"B={B}: init {init_s:.0f}s")
 
     @functools.partial(jax.jit, static_argnums=2)
     def eval_n(vs, b, n):
@@ -124,7 +137,9 @@ def measure(B, T=96, reps=3):
     t0 = time.time()
     float(eval_n(variables, batch, n1))
     compile_s = time.time() - t0
+    note(f"B={B}: short-variant compile {compile_s:.0f}s")
     float(eval_n(variables, batch, n2))  # compile the long variant
+    note(f"B={B}: long-variant compiled, timing")
 
     def timed(n):
         best = float("inf")
@@ -272,7 +287,9 @@ def main():
     results = {}
     best = (0.0, None)
     for B in (1, 4):
+        note(f"measuring eval B={B}")
         vps, step_s, init_s, compile_s = measure(B)
+        note(f"eval B={B}: {vps:.1f} videos/s ({step_s * 1000:.1f} ms/step)")
         results[f"B{B}"] = {
             "videos_per_sec": round(vps, 3),
             "step_ms": round(step_s * 1000, 1),
@@ -282,7 +299,9 @@ def main():
         if vps > best[0]:
             best = (vps, B)
 
+    note("measuring train step B=4 T=32")
     train_vps, train_step_s = measure_train()
+    note(f"train: {train_vps:.1f} videos/s ({train_step_s * 1000:.0f} ms/step)")
 
     videos_per_sec, bestB = best
     result = {
