@@ -184,3 +184,24 @@ def device_prefetch(iterator, size: int = 2):
             yield buf.popleft()
     while buf:
         yield buf.popleft()
+
+
+def shard_prefetch(mesh, iterator, size: int = 2):
+    """Mesh analog of :func:`device_prefetch`: keep ``size`` sharded global
+    batches in flight ahead of consumption.
+
+    ``shard_batch`` performs host-side numpy assembly plus the (async) H2D
+    placement to every local device of the mesh; buffering ``size`` batches
+    keeps that work overlapped with the in-flight train step, the same
+    depth-2 pipelining the eval path uses (Trainer._eval_batches).  Order
+    is preserved — results are step-for-step identical to the sequential
+    form (tests/test_parallel.py)."""
+    from ..parallel.sharding import shard_batch
+
+    buf = collections.deque()
+    for b in iterator:
+        buf.append(shard_batch(mesh, b))
+        if len(buf) == size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

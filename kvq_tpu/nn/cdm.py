@@ -24,12 +24,28 @@ import jax
 import jax.numpy as jnp
 
 
+def _pallas_backend_ok() -> bool:
+    """Mosaic kernels need a TPU backend; tests force the CPU interpreter
+    by monkeypatching the kernel AND setting ALLOW_CPU_PALLAS (same
+    contract as nn/swin.py)."""
+    from ..ops import window_attention as WA
+
+    return jax.default_backend() == "tpu" or getattr(
+        WA, "ALLOW_CPU_PALLAS", False
+    )
+
+
 class CrossAttention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    # eval-only Pallas flash path (scores never leave VMEM) — fixes the
+    # superlinear batch scaling of the XLA composition at CDM shapes
+    # (tools/profile_cdm.py, tools/profile_cdm_variants.py); the kernel is
+    # forward-only, so training keeps the XLA form
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, q_tokens, kv_tokens):
+    def __call__(self, q_tokens, kv_tokens, *, train: bool = False):
         # q_tokens: (B, Nq, C); kv_tokens: (B, Nk, C)
         B, Nq, C = q_tokens.shape
         h = self.num_heads
@@ -43,6 +59,13 @@ class CrossAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         # reference scale: 1/sqrt(dim_V) with dim_V = full C
+        if self.use_pallas and not train and _pallas_backend_ok():
+            from ..ops import window_attention as WA
+
+            flash_attention_nobias = WA.flash_attention_nobias
+
+            out = flash_attention_nobias(q, k, v, scale=C ** -0.5)
+            return out.transpose(0, 2, 1, 3).reshape(B, Nq, C), None
         attn = jnp.einsum(
             "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.float32(C))
@@ -56,6 +79,7 @@ class TemporalAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # eval-only flash path, see CrossAttention
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -68,6 +92,14 @@ class TemporalAttention(nn.Module):
         def heads(t):
             return t.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
 
+        if self.use_pallas and not train and _pallas_backend_ok():
+            from ..ops import window_attention as WA
+
+            out = WA.flash_attention_nobias(
+                heads(q), heads(k), heads(v), scale=hd ** -0.5
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         q, k, v = heads(q) * hd**-0.5, heads(k), heads(v)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)

@@ -66,6 +66,10 @@ class KSVQEConfig:
     # (data/fragments.py:s2d_pack) — removes the on-device C=3-minor
     # patch-embed relayout; bitwise-identical outputs (tests/test_s2d.py)
     s2d_input: bool = False
+    # test knob: force the per-frame gather semantic path even when the
+    # keyframe schedule is uniform (the grouped fast path applies) — lets
+    # tests prove grouped == gather through the FULL model
+    force_sem_gather: bool = False
     # reduced-geometry knobs for tests/dry-runs (defaults = paper shapes)
     contrique_layers: tuple[int, ...] = (3, 4, 6, 3)
     clip_layers: int = 12
@@ -172,13 +176,17 @@ class KSVQE(nn.Module):
                 AdapterMLP(dim, dtype=self.dtype, name=f"distortion_adapter_{m}")
             )
             sem_cross.append(
-                CrossAttention(heads, dtype=self.dtype, name=f"semantic_cross_{m}")
+                CrossAttention(heads, dtype=self.dtype, use_pallas=cfg.use_pallas,
+                               name=f"semantic_cross_{m}")
             )
             dist_cross.append(
-                CrossAttention(heads, dtype=self.dtype, name=f"distortion_cross_{m}")
+                CrossAttention(heads, dtype=self.dtype, use_pallas=cfg.use_pallas,
+                               name=f"distortion_cross_{m}")
             )
             dist_self.append(
-                TemporalAttention(heads, dtype=self.dtype, name=f"distortion_self_{m}")
+                TemporalAttention(heads, dtype=self.dtype,
+                                  use_pallas=cfg.use_pallas,
+                                  name=f"distortion_self_{m}")
             )
             sem_mod.append(SemanticFiLM(dtype=self.dtype, name=f"semantic_mod_{m}"))
             dist_mod.append(DistFiLM(dtype=self.dtype, name=f"distortion_mod_{m}"))
@@ -278,7 +286,7 @@ class KSVQE(nn.Module):
         # T=96 than adapting T/2 broadcast copies, identical math.
         gid_half = group_id[::2]
         tg = len(gid_half) // max(n_key, 1)
-        sem_grouped = gid_half == tuple(
+        sem_grouped = not cfg.force_sem_gather and gid_half == tuple(
             g for g in range(n_key) for _ in range(tg)
         )
         if not sem_grouped:  # non-uniform schedule: gather per frame
@@ -320,11 +328,12 @@ class KSVQE(nn.Module):
                 enh, _ = self.semantic_cross[m](
                     x.reshape(n * n_key, tg * h * w, c),
                     pt_key.reshape(n * n_key, L, c),
+                    train=train,
                 )
                 enh = enh.reshape(n * t, h * w, c)
             else:
                 pt = pt_key[:, gid_half_ix].reshape(n * t, L, c)
-                enh, _ = self.semantic_cross[m](xs, pt)
+                enh, _ = self.semantic_cross[m](xs, pt, train=train)
             fors = self.semantic_mod[m](
                 enh.reshape(n * t, h, w, c), x.reshape(n * t, h, w, c)
             ).reshape(n, t, h, w, c)
@@ -332,7 +341,7 @@ class KSVQE(nn.Module):
             # distortion modulation
             G = dist_tok.shape[2]
             dt = self.distortion_adapter[m](dist_tok).reshape(n * t, G, c)
-            denh, _ = self.distortion_cross[m](xs, dt)  # (n*t, h*w, c)
+            denh, _ = self.distortion_cross[m](xs, dt, train=train)  # (n*t, h*w, c)
             denh = (
                 denh.reshape(n, t, h * w, c)
                 .transpose(0, 2, 1, 3)

@@ -341,6 +341,136 @@ def flash_window_attention_packed(
 
 
 # ---------------------------------------------------------------------------
+# No-bias batched flash attention (the CDM attentions)
+
+
+def _make_nobias_kernel(n: int, m: int, pack: int, group: int, scale: float):
+    """Kernel step processing ``group`` packs of ``pack`` windows for one
+    head.  The ``pack`` windows are fused into ONE (pack*n, hd) x
+    (hd, pack*m) matmul with a block-diagonal mask — at CDM shapes
+    (n = m = 48) a single window uses <40% of the MXU tile in every
+    dimension, and XLA's batched-matmul lowering of ~19k such matmuls
+    additionally round-trips the fp32 scores through HBM with 48->128
+    lane padding (the measured superlinear B=1->4 regression,
+    tools/profile_cdm_variants.py).  Packing recovers MXU geometry;
+    masking keeps the math exactly per-window."""
+    pn, pm = pack * n, pack * m
+
+    def kernel(q_ref, k_ref, v_ref, out_ref):
+        if pack > 1:
+            row = jax.lax.broadcasted_iota(jnp.int32, (pn, pm), 0) // n
+            col = jax.lax.broadcasted_iota(jnp.int32, (pn, pm), 1) // m
+            blockmask = row == col
+
+        def body(g, _):
+            if pack > 1:
+                # (pack, 1, n, hd) -> (pack*n, hd): sublane-tile stacking,
+                # legal in Mosaic only because n, m are 8-aligned
+                # (_plan_nobias guarantees it)
+                q = q_ref[pl.ds(g * pack, pack), 0].reshape(pn, -1)
+                k = k_ref[pl.ds(g * pack, pack), 0].reshape(pm, -1)
+                v = v_ref[pl.ds(g * pack, pack), 0].reshape(pm, -1)
+            else:
+                q = q_ref[g, 0]
+                k = k_ref[g, 0]
+                v = v_ref[g, 0]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if pack > 1:
+                s = jnp.where(blockmask, s, -1e30)
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - mx)
+            # deferred normalization: divide the (pn, hd) AV output instead
+            # of the (pn, pm) probabilities (one fewer full-score VPU pass)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / denom
+            if pack > 1:
+                out_ref[pl.ds(g * pack, pack), 0] = out.reshape(
+                    pack, n, -1
+                ).astype(out_ref.dtype)
+            else:
+                out_ref[g, 0] = out.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, group, body, 0)
+
+    return kernel
+
+
+def _plan_nobias(X: int, n: int, m: int, hd: int, itemsize: int,
+                 pack_override: int | None = None):
+    """(pack, group): fuse ``pack`` windows per matmul and iterate
+    ``group`` packs per grid step (VMEM-bounded).  Packing trades MXU
+    geometry (rows pack*n) against VPU softmax work (x pack on masked
+    elements); pack=4 measured best at the CDM shapes
+    (tools/profile_cdm_variants.py)."""
+    pack = 1
+    cands = (pack_override,) if pack_override else (4, 2)
+    if n % 8 == 0 and m % 8 == 0:  # Mosaic reshape needs sublane alignment
+        for p in cands:
+            if X % p == 0 and p * n <= 512 and p * m <= 1024:
+                pack = p
+                break
+    budget = 4 * 1024 * 1024
+    per_window = (2 * n + 2 * m) * hd * itemsize
+    group = 1
+    for g in (16, 8, 4, 2):
+        if (X // pack) % g == 0 and g * pack * per_window <= budget:
+            group = g
+            break
+    return pack, group
+
+
+def flash_attention_nobias(q, k, v, scale=None, interpret=False,
+                           pack_override=None):
+    """Batched multi-head attention with no bias/mask, scores kept in VMEM.
+
+    q: (X, h, N, hd); k/v: (X, h, M, hd); returns (X, h, N, hd).
+    Softmax statistics in fp32 (same numerics as the XLA composition up to
+    fp32-accumulation order).  Forward-only — used by the CDM modules on
+    the no-grad eval path (nn/cdm.py); training keeps the XLA form.
+    """
+    X, h, N, hd = q.shape
+    M = k.shape[2]
+    assert k.shape == (X, h, M, hd) and v.shape == k.shape, (
+        q.shape, k.shape, v.shape
+    )
+    if scale is None:
+        scale = hd ** -0.5
+
+    pack, group = _plan_nobias(X, N, M, hd, q.dtype.itemsize, pack_override)
+    G = pack * group
+
+    def qmap(hh, chunk):
+        return (chunk, hh, 0, 0)
+
+    kernel = _make_nobias_kernel(N, M, pack, group, float(scale))
+    grid = (h, X // G)
+    spec_q = pl.BlockSpec((G, 1, N, hd), qmap, memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((G, 1, M, hd), qmap, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_q, spec_kv, spec_kv],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * X * h * N * M * hd * pack,
+            bytes_accessed=(2 * N + 2 * M) * X * h * hd * q.dtype.itemsize,
+            transcendentals=X * h * N * M * pack,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
 # Fully fused Swin block kernel (eval path, small-head stages)
 
 # VMEM budget for the per-pattern bias cache; module-level so tests can

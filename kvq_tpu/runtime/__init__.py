@@ -59,6 +59,32 @@ def available() -> bool:
     return load() is not None
 
 
+def ensure_built(timeout: float = 180.0) -> bool:
+    """Build ``libkvq_runtime.so`` in place if it is absent.
+
+    The reference ships its native decode path as a pip dependency
+    (decord, requirements.txt); ours ships as source, so entry points
+    (test runner, benches) call this to get the production decode path
+    without a manual build step.  Graceful: returns False (numpy
+    fallback stays active) when the toolchain or OpenCV headers are
+    missing or the build times out.
+    """
+    if available():
+        return True
+    import subprocess
+
+    script = os.path.join(os.path.dirname(__file__), "build.sh")
+    try:
+        r = subprocess.run(
+            ["sh", script], capture_output=True, text=True, timeout=timeout
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if r.returncode != 0:
+        return False
+    return available()
+
+
 def _ptr(a: np.ndarray, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 

@@ -393,18 +393,23 @@ class Trainer:
         assert self.state is not None and self.train_loader is not None
         last_aux: dict = {}
         if self.mesh is not None:
-            from ..parallel import sharding as shd
+            from ..data.pipeline import shard_prefetch
             from ..parallel import steps as psteps
 
             if self._mesh_train_step is None:
                 self._mesh_train_step = psteps.make_ddp_train_step(
                     self.model, self._tx, self.config, self.mesh, self.ema_decay
                 )
-            for batch in self.train_loader.epoch(epoch):
+            # depth-2 in-flight sharded batches: batch N+1's host assembly
+            # + H2D placement overlaps step N (the eval-path pipelining,
+            # applied to the mesh train input)
+            it = shard_prefetch(
+                self.mesh,
+                (array_batch(b, to_device=False)
+                 for b in self.train_loader.epoch(epoch)),
+            )
+            for sb in it:
                 rng, step_rng = jax.random.split(rng)
-                sb = shd.shard_batch(
-                    self.mesh, array_batch(batch, to_device=False)
-                )
                 self.state, aux = self._mesh_train_step(
                     self.state, sb, step_rng
                 )

@@ -69,3 +69,54 @@ def test_nonuniform_schedule_falls_back_to_gather():
         batch,
     )
     assert "params" in shapes
+
+
+def test_full_model_grouped_matches_forced_gather():
+    """Grouped == gather through the FULL model (ADVICE r2): run the tiny
+    KSVQE forward twice on the same params — once on the grouped fast path
+    (uniform T=8 schedule), once with force_sem_gather — and compare
+    numerically."""
+    import dataclasses
+
+    from tests.test_ksvqe import TINY, tiny_batch
+    from kvq_tpu.nn.ksvqe import KSVQE
+
+    batch = tiny_batch(B=2, T=8, rng_seed=11)
+    model_g = KSVQE(config=TINY, dtype=jnp.float32)
+    variables = model_g.init(
+        {"params": jax.random.key(0), "qrs": jax.random.key(1)},
+        batch,
+        train=False,
+    )
+    feat_g, loss_g = model_g.apply(variables, batch, train=False)
+
+    model_f = KSVQE(
+        config=dataclasses.replace(TINY, force_sem_gather=True),
+        dtype=jnp.float32,
+    )
+    feat_f, loss_f = model_f.apply(variables, batch, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(feat_g), np.asarray(feat_f), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(loss_g), float(loss_f), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_full_model_nonuniform_schedule_runs_numerically():
+    """The T=12 gather branch executes end to end (not just a shape trace)
+    and produces finite outputs (ADVICE r2)."""
+    from tests.test_ksvqe import TINY, tiny_batch
+    from kvq_tpu.nn.ksvqe import KSVQE
+
+    model = KSVQE(config=TINY, dtype=jnp.float32)
+    batch = tiny_batch(B=1, T=12, rng_seed=7)
+    variables = model.init(
+        {"params": jax.random.key(0), "qrs": jax.random.key(1)},
+        batch,
+        train=False,
+    )
+    feat, dis_loss = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(feat)).all()
+    assert np.isfinite(float(dis_loss))

@@ -1,11 +1,18 @@
-"""Native C++ runtime vs numpy-path equivalence (skipped if not built)."""
+"""Native C++ runtime vs numpy-path equivalence.
+
+Auto-builds libkvq_runtime.so via runtime.ensure_built(); skips only when
+the toolchain/OpenCV headers are genuinely unavailable.
+"""
 
 import numpy as np
 import pytest
 
 runtime = pytest.importorskip("kvq_tpu.runtime")
-if not runtime.available():
-    pytest.skip("libkvq_runtime.so not built", allow_module_level=True)
+if not runtime.ensure_built():
+    pytest.skip(
+        "libkvq_runtime.so could not be built (no g++/OpenCV?)",
+        allow_module_level=True,
+    )
 
 from kvq_tpu.data import views as V
 from kvq_tpu.data.fragments import fragment_index_maps

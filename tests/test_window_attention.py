@@ -364,3 +364,78 @@ def test_swin_train_kernel_param_grads_match_xla_path():
             np.asarray(other), np.asarray(leaf), atol=1e-3, rtol=5e-3,
             err_msg=f"param grad mismatch at {_pstr(path)}",
         )
+
+
+def test_flash_nobias_matches_xla():
+    """No-bias batched flash attention (the CDM attentions): packed
+    (N=M=48, pack>1) and unpacked (large Nq cross) shapes vs the XLA
+    composition."""
+    from kvq_tpu.ops.window_attention import (
+        _plan_nobias, flash_attention_nobias,
+    )
+
+    rng = np.random.default_rng(0)
+    for X, h, N, M, hd in [
+        (16, 2, 48, 48, 32),   # temporal self shape (pack=8)
+        (8, 3, 112, 49, 32),   # distortion cross (pack=4)
+        (4, 2, 560, 56, 32),   # large-Nq cross (pack=1)
+        (14, 2, 48, 48, 16),   # odd divisor chain
+    ]:
+        q = jnp.asarray(rng.normal(size=(X, h, N, hd)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(X, h, M, hd)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(X, h, M, hd)), jnp.float32)
+        scale = hd ** -0.5
+        s = jnp.einsum("xhnd,xhmd->xhnm", q * scale, k,
+                       preferred_element_type=jnp.float32)
+        ref = jnp.einsum("xhnm,xhmd->xhnd", jax.nn.softmax(s, -1), v)
+        out = flash_attention_nobias(q, k, v, scale=scale, interpret=True)
+        pack, group = _plan_nobias(X, N, M, hd, 4)
+        assert X % (pack * group) == 0
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3,
+            err_msg=f"shape {(X, h, N, M, hd)} pack={pack} group={group}",
+        )
+
+
+def test_cdm_pallas_modules_match_xla():
+    """CrossAttention / TemporalAttention use_pallas flag (interpret-mode
+    kernel) vs their XLA path on the same weights."""
+    import kvq_tpu.ops.window_attention as WA
+    from kvq_tpu.nn.cdm import CrossAttention, TemporalAttention
+
+    rng = np.random.default_rng(1)
+    xq = jnp.asarray(rng.normal(size=(8, 48, 32)), jnp.float32)
+    xkv = jnp.asarray(rng.normal(size=(8, 49, 32)), jnp.float32)
+
+    cross = CrossAttention(num_heads=2)
+    cv = cross.init(jax.random.key(0), xq, xkv)
+    out_xla, _ = cross.apply(cv, xq, xkv)
+
+    tatt = TemporalAttention(num_heads=2)
+    tv = tatt.init(jax.random.key(1), xq)
+    t_xla = tatt.apply(tv, xq)
+
+    orig = WA.flash_attention_nobias
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    WA.flash_attention_nobias = interp
+    WA.ALLOW_CPU_PALLAS = True
+    try:
+        out_pal, attn = CrossAttention(num_heads=2, use_pallas=True).apply(
+            cv, xq, xkv
+        )
+        assert attn is None  # kernel path does not materialize probs
+        t_pal = TemporalAttention(num_heads=2, use_pallas=True).apply(tv, xq)
+    finally:
+        WA.flash_attention_nobias = orig
+        WA.ALLOW_CPU_PALLAS = False
+
+    np.testing.assert_allclose(
+        np.asarray(out_xla), np.asarray(out_pal), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_xla), np.asarray(t_pal), atol=2e-4, rtol=1e-3
+    )

@@ -23,13 +23,9 @@ sys.path.insert(0, ".")
 from tools.bench_pipeline import make_fixture_videos  # noqa: E402
 
 
-def main():
-    args = [a for a in sys.argv[1:] if a != "--tiny"]
-    tiny = "--tiny" in sys.argv[1:]  # CPU smoke: tiny KSVQE + tiny shapes
-    n_videos = int(args[0]) if len(args) > 0 else (2 if tiny else 8)
-    workers = int(args[1]) if len(args) > 1 else 2
-    eval_batch = int(args[2]) if len(args) > 2 else (1 if tiny else 4)
-
+def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
+    """Measure end-to-end serving throughput; returns the result dict
+    (or {"error": ...} when the TPU is unreachable)."""
     if tiny:
         import jax
 
@@ -124,19 +120,21 @@ def main():
 
     import jax
 
-    if not tiny:
+    if not tiny and probe:
         # the axon backend HANGS (no error) when the tunnel is down —
         # bounded probe first, same as bench.py
         from bench import probe_tpu
 
         err = probe_tpu()
         if err is not None:
-            print(json.dumps({"error": f"TPU backend unavailable: {err}"}))
-            return
+            return {"error": f"TPU backend unavailable: {err}"}
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/kvq_jax_cache")
 
+    from kvq_tpu import runtime
     from kvq_tpu.train.trainer import Trainer
+
+    decode_backend = "native" if runtime.ensure_built() else "numpy/cv2"
 
     tr = Trainer(cfg, workdir="/tmp/kvq_bench_e2e")
     t0 = time.time()
@@ -156,7 +154,7 @@ def main():
     e2e_s = time.time() - t0
     vps = n_videos / e2e_s
 
-    print(json.dumps({
+    return {
         "metric": "KSVQE end-to-end eval videos/s (decode+views+device)",
         "value": round(vps, 3),
         "unit": "videos/s",
@@ -164,13 +162,23 @@ def main():
             "n_videos": n_videos,
             "workers": workers,
             "eval_batch": eval_batch,
+            "decode_backend": decode_backend,
             "build_s": round(build_s, 1),
             "first_pass_s": round(warm_s, 1),
             "steady_pass_s": round(e2e_s, 1),
             "note": "host-decode-bound on this 1-vCPU box; decode "
                     "parallelism scales with workers on real hosts",
         },
-    }))
+    }
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--tiny"]
+    tiny = "--tiny" in sys.argv[1:]  # CPU smoke: tiny KSVQE + tiny shapes
+    n_videos = int(args[0]) if len(args) > 0 else (2 if tiny else 8)
+    workers = int(args[1]) if len(args) > 1 else 2
+    eval_batch = int(args[2]) if len(args) > 2 else (1 if tiny else 4)
+    print(json.dumps(run_e2e(n_videos, workers, eval_batch, tiny=tiny)))
 
 
 if __name__ == "__main__":
