@@ -111,13 +111,34 @@ def fetch(name: str, cache: str | None = None, download: bool = True) -> str:
     return path
 
 
+# Checkpoints the reference needs but that have no stable direct URL —
+# fetch_all reports actionable guidance instead of silently omitting them.
+MANUAL_SOURCES = {
+    "CONTRIQUE_checkpoint25.tar": (
+        "no stable direct URL — download from the CONTRIQUE release "
+        "(github.com/pavancm/CONTRIQUE, 'CONTRIQUE_checkpoint25.tar') and "
+        "place it in {cache}; KSVQE's distortion tool requires it "
+        "(reference KSVQE_model.py:1078)"
+    ),
+}
+
+
 def fetch_all(cache: str | None = None, download: bool = True) -> dict:
     """Best-effort fetch of every known checkpoint; returns
-    {name: path-or-error-string}."""
+    {name: path-or-error-string}.  Manual-acquisition checkpoints
+    (MANUAL_SOURCES) resolve to their cached path when pre-placed and to
+    an actionable MANUAL: instruction otherwise."""
     out = {}
     for name in WEIGHT_SOURCES:
         try:
             out[name] = fetch(name, cache=cache, download=download)
         except Exception as e:
             out[name] = f"ERROR: {e}"
+    cdir = cache or cache_dir()
+    for name, guidance in MANUAL_SOURCES.items():
+        path = os.path.join(cdir, name)
+        if os.path.exists(path):
+            out[name] = path
+        else:
+            out[name] = "MANUAL: " + guidance.format(cache=cdir)
     return out

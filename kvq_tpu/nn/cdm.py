@@ -54,18 +54,21 @@ class CrossAttention(nn.Module):
         k = nn.Dense(C, dtype=self.dtype, name="fc_k")(kv_tokens)
         v = nn.Dense(C, dtype=self.dtype, name="fc_v")(kv_tokens)
 
-        def heads(t):
-            return t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
         # reference scale: 1/sqrt(dim_V) with dim_V = full C
         if self.use_pallas and not train and _pallas_backend_ok():
             from ..ops import window_attention as WA
 
-            flash_attention_nobias = WA.flash_attention_nobias
+            # channel-layout kernel: consumes the Dense outputs directly,
+            # no (B, h, N, hd) transpose round-trips through HBM
+            out = WA.flash_attention_nobias_cl(
+                q, k, v, num_heads=h, scale=C ** -0.5
+            )
+            return out, None
 
-            out = flash_attention_nobias(q, k, v, scale=C ** -0.5)
-            return out.transpose(0, 2, 1, 3).reshape(B, Nq, C), None
+        def heads(t):
+            return t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
         attn = jnp.einsum(
             "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.float32(C))
@@ -95,10 +98,9 @@ class TemporalAttention(nn.Module):
         if self.use_pallas and not train and _pallas_backend_ok():
             from ..ops import window_attention as WA
 
-            out = WA.flash_attention_nobias(
-                heads(q), heads(k), heads(v), scale=hd ** -0.5
+            out = WA.flash_attention_nobias_cl(
+                q, k, v, num_heads=h, scale=hd ** -0.5
             )
-            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
             return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         q, k, v = heads(q) * hd**-0.5, heads(k), heads(v)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,

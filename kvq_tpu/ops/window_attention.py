@@ -470,12 +470,133 @@ def flash_attention_nobias(q, k, v, scale=None, interpret=False,
     )(q, k, v)
 
 
+def _make_nobias_cl_kernel(n: int, m: int, heads: int, hd: int, pack: int,
+                           group: int, scale: float):
+    """Channel-layout variant of :func:`_make_nobias_kernel`: q/k/v arrive
+    as (G, n|m, C) tiles straight from their Dense projections — heads are
+    sliced along the lane (channel) axis in VMEM and head outputs are
+    re-concatenated before the store, so NO (X, h, N, hd) transpose is
+    ever materialized in HBM.  (The first, head-major kernel won at the
+    module level but LOST in the full model: XLA folds the head transposes
+    into its batched matmuls, while a kernel boundary forces three real
+    HBM transposes — measured 56.3 -> 50.6 videos/s eval B=1.)"""
+    pn, pm = pack * n, pack * m
+
+    def kernel(q_ref, k_ref, v_ref, out_ref):
+        if pack > 1:
+            row = jax.lax.broadcasted_iota(jnp.int32, (pn, pm), 0) // n
+            col = jax.lax.broadcasted_iota(jnp.int32, (pn, pm), 1) // m
+            blockmask = row == col
+
+        def body(g, _):
+            if pack > 1:
+                qg = q_ref[pl.ds(g * pack, pack)]
+                kg = k_ref[pl.ds(g * pack, pack)]
+                vg = v_ref[pl.ds(g * pack, pack)]
+            else:
+                qg = q_ref[g]
+                kg = k_ref[g]
+                vg = v_ref[g]
+            outs = []
+            for hh in range(heads):
+                sl = slice(hh * hd, (hh + 1) * hd)
+                if pack > 1:
+                    q = qg[..., sl].reshape(pn, hd)
+                    k = kg[..., sl].reshape(pm, hd)
+                    v = vg[..., sl].reshape(pm, hd)
+                else:
+                    q = qg[:, sl]
+                    k = kg[:, sl]
+                    v = vg[:, sl]
+                q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+                s = jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if pack > 1:
+                    s = jnp.where(blockmask, s, -1e30)
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp((s - mx).astype(q_ref.dtype))
+                r = 1.0 / jnp.sum(p.astype(jnp.float32), axis=-1,
+                                  keepdims=True)
+                outs.append(
+                    (jax.lax.dot_general(
+                        p, v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * r).astype(out_ref.dtype)
+                )
+            o = jnp.concatenate(outs, axis=-1)  # (pn, C)
+            if pack > 1:
+                out_ref[pl.ds(g * pack, pack)] = o.reshape(pack, n, -1)
+            else:
+                out_ref[g] = o
+            return 0
+
+        jax.lax.fori_loop(0, group, body, 0)
+
+    return kernel
+
+
+def flash_attention_nobias_cl(q, k, v, num_heads: int, scale=None,
+                              interpret=False, pack_override=None):
+    """Batched multi-head attention, channel layout: q (X, N, C),
+    k/v (X, M, C) -> (X, N, C); heads split along C inside the kernel.
+
+    The CDM eval path (nn/cdm.py) — scores never leave VMEM, no head
+    transposes in HBM.  Forward-only.
+    """
+    X, N, C = q.shape
+    M = k.shape[1]
+    assert k.shape == (X, M, C) and v.shape == k.shape, (
+        q.shape, k.shape, v.shape
+    )
+    hd = C // num_heads
+    assert hd * num_heads == C
+    if scale is None:
+        scale = hd ** -0.5
+
+    pack, group = _plan_nobias(
+        X, N, M, C, q.dtype.itemsize, pack_override
+    )
+    G = pack * group
+
+    def tmap(chunk):
+        return (chunk, 0, 0)
+
+    kernel = _make_nobias_cl_kernel(
+        N, M, num_heads, hd, pack, group, float(scale)
+    )
+    grid = (X // G,)
+    spec_q = pl.BlockSpec((G, N, C), tmap, memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((G, M, C), tmap, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_q, spec_kv, spec_kv],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * X * N * M * C * pack,
+            bytes_accessed=(2 * N + 2 * M) * X * C * q.dtype.itemsize,
+            transcendentals=X * num_heads * N * M * pack,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 # ---------------------------------------------------------------------------
 # Fully fused Swin block kernel (eval path, small-head stages)
 
 # VMEM budget for the per-pattern bias cache; module-level so tests can
 # shrink it to force the pattern-major grid on small geometries.
 BIAS_CACHE_BUDGET = 40 * 1024 * 1024
+# Cache element type.  bf16 halves slab VMEM (doubling pattern residency —
+# stages 0/1 of the eval geometry then fit 'resident' instead of 'major')
+# at the cost of bias quantization (~0.4% of unit-scale logits); flipped by
+# tools/profile_block_kernel.py to measure the tradeoff.
+BIAS_CACHE_DTYPE = jnp.float32
 
 
 def _plan_bias_cache(geo: WindowGeometry):
@@ -504,7 +625,8 @@ def _plan_bias_cache(geo: WindowGeometry):
     sd, sh, sw = geo.shift
     n = geo.n_tokens
     p_eff = P if (geo.use_frag or sh or sw) else 1
-    bpp = geo.num_heads * n * n * 4  # one fp32 (h, N, N) bias slab
+    # one (h, N, N) bias slab in the configured cache dtype
+    bpp = geo.num_heads * n * n * jnp.dtype(BIAS_CACHE_DTYPE).itemsize
     budget = BIAS_CACHE_BUDGET
     if p_eff * bpp <= budget:
         return p_eff, "resident", p_eff
@@ -587,7 +709,7 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                 cache_ref[slot, hh] = _blend_bias(
                     geo, gate, seam, relb_ref[hh],
                     fragb_ref[hh] if use_frag else None,
-                )
+                ).astype(cache_ref.dtype)
 
         if need_cache:
             if mode == "major":
@@ -642,28 +764,35 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
 
             outs = []
             for hh in range(h):
-                q = qkv[:, hh * hd : (hh + 1) * hd]
+                # scale folded into the (N, hd) q tile — one fewer VPU pass
+                # over the (N, N) scores than `dot(q, k) * scale`
+                q = (qkv[:, hh * hd : (hh + 1) * hd].astype(jnp.float32)
+                     * scale).astype(xw.dtype)
                 k = qkv[:, C + hh * hd : C + (hh + 1) * hd]
                 v = qkv[:, 2 * C + hh * hd : 2 * C + (hh + 1) * hd]
                 s = jax.lax.dot_general(
                     q, k,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * scale
+                )
                 if need_cache:
-                    s = s + cache_ref[slot, hh]
+                    s = s + cache_ref[slot, hh].astype(jnp.float32)
                 else:
                     s = s + relb_ref[hh]
                 if d_seam:
                     s = s + dmul * maskd_ref[...]
                 m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)
+                # exp in the input dtype: p feeds the AV matmul as
+                # ``v.dtype`` anyway, so on the bf16 path this halves the
+                # exp pass's VPU traffic (exact on the fp32 test path)
+                p = jnp.exp((s - m).astype(xw.dtype))
                 # deferred normalization: divide the (N, hd) p@v result
                 # instead of the (N, N) probabilities
-                r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                r = 1.0 / jnp.sum(p.astype(jnp.float32), axis=-1,
+                                  keepdims=True)
                 outs.append(
                     (jax.lax.dot_general(
-                        p.astype(v.dtype), v,
+                        p, v,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * r).astype(xw.dtype)
@@ -827,7 +956,8 @@ def fused_swin_block(
         out_specs=spec_x,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         scratch_shapes=(
-            [pltpu.VMEM((pb, h, N, N), jnp.float32)] if need_cache else []
+            [pltpu.VMEM((pb, h, N, N), BIAS_CACHE_DTYPE)]
+            if need_cache else []
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * BW * N * (3 * C * C + 2 * N * hd * h + C * C

@@ -42,3 +42,16 @@ def test_preplaced_file_with_good_hash_accepted(tmp_path, monkeypatch):
 def test_cache_dir_env_override(monkeypatch, tmp_path):
     monkeypatch.setenv("KVQ_WEIGHTS_DIR", str(tmp_path))
     assert W.cache_dir() == str(tmp_path)
+
+
+def test_fetch_all_reports_manual_contrique(tmp_path):
+    from kvq_tpu.core import weights as W
+
+    out = W.fetch_all(cache=str(tmp_path), download=False)
+    assert out["CONTRIQUE_checkpoint25.tar"].startswith("MANUAL: ")
+    assert "github.com/pavancm/CONTRIQUE" in out["CONTRIQUE_checkpoint25.tar"]
+    # pre-placed file resolves to its path instead
+    p = tmp_path / "CONTRIQUE_checkpoint25.tar"
+    p.write_bytes(b"stub")
+    out = W.fetch_all(cache=str(tmp_path), download=False)
+    assert out["CONTRIQUE_checkpoint25.tar"] == str(p)

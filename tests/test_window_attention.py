@@ -395,6 +395,21 @@ def test_flash_nobias_matches_xla():
             np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3,
             err_msg=f"shape {(X, h, N, M, hd)} pack={pack} group={group}",
         )
+        # channel-layout variant: same math from (X, N, C) inputs
+        from kvq_tpu.ops.window_attention import flash_attention_nobias_cl
+
+        C = h * hd
+        qc = q.transpose(0, 2, 1, 3).reshape(X, N, C)
+        kc = k.transpose(0, 2, 1, 3).reshape(X, M, C)
+        vc = v.transpose(0, 2, 1, 3).reshape(X, M, C)
+        out_cl = flash_attention_nobias_cl(
+            qc, kc, vc, num_heads=h, scale=scale, interpret=True
+        )
+        ref_cl = np.asarray(ref).transpose(0, 2, 1, 3).reshape(X, N, C)
+        np.testing.assert_allclose(
+            np.asarray(out_cl), ref_cl, atol=2e-4, rtol=1e-3,
+            err_msg=f"cl shape {(X, h, N, M, hd)}",
+        )
 
 
 def test_cdm_pallas_modules_match_xla():
@@ -415,13 +430,13 @@ def test_cdm_pallas_modules_match_xla():
     tv = tatt.init(jax.random.key(1), xq)
     t_xla = tatt.apply(tv, xq)
 
-    orig = WA.flash_attention_nobias
+    orig = WA.flash_attention_nobias_cl
 
     def interp(*args, **kwargs):
         kwargs["interpret"] = True
         return orig(*args, **kwargs)
 
-    WA.flash_attention_nobias = interp
+    WA.flash_attention_nobias_cl = interp
     WA.ALLOW_CPU_PALLAS = True
     try:
         out_pal, attn = CrossAttention(num_heads=2, use_pallas=True).apply(
@@ -430,7 +445,7 @@ def test_cdm_pallas_modules_match_xla():
         assert attn is None  # kernel path does not materialize probs
         t_pal = TemporalAttention(num_heads=2, use_pallas=True).apply(tv, xq)
     finally:
-        WA.flash_attention_nobias = orig
+        WA.flash_attention_nobias_cl = orig
         WA.ALLOW_CPU_PALLAS = False
 
     np.testing.assert_allclose(

@@ -19,10 +19,17 @@ from tools.profile_ksvqe import timed_loop  # noqa: E802,E402
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
+    from kvq_tpu.ops import window_attention as WA
     from kvq_tpu.ops.window_attention import WindowGeometry, fused_swin_block
+
+    if os.environ.get("KVQ_BIAS_CACHE") == "bf16":
+        WA.BIAS_CACHE_DTYPE = jnp.bfloat16
+        print("bias cache: bf16", flush=True)
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     dt = jnp.bfloat16

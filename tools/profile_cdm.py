@@ -8,8 +8,12 @@ temporal self-attention, and both FiLMs — per stage, at a sweep of
 batch sizes, so the superlinear op can be pinned and fixed.
 
 Usage: python tools/profile_cdm.py [B ...]   (default: 1 4)
+KVQ_CDM_PALLAS=1 builds the attention modules with use_pallas=True (the
+channel-layout flash kernel eval path) for an on/off comparison.
 """
 
+import functools
+import os
 import sys
 
 import numpy as np
@@ -29,6 +33,13 @@ def main():
         AdapterMLP, CrossAttention, DistFiLM, SemanticFiLM,
         TemporalAttention,
     )
+
+    if os.environ.get("KVQ_CDM_PALLAS") == "1":
+        print("cdm attention modules: use_pallas=True", flush=True)
+        CrossAttention = functools.partial(CrossAttention, use_pallas=True)  # noqa: N806
+        TemporalAttention = functools.partial(  # noqa: N806
+            TemporalAttention, use_pallas=True
+        )
 
     batches = [int(a) for a in sys.argv[1:]] or [1, 4]
     dt = jnp.bfloat16

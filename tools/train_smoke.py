@@ -1,0 +1,151 @@
+"""End-to-end synthetic KSVQE training run at paper shapes on the chip.
+
+The last untested integration at scale (VERDICT r2 item 8): run a few
+hundred REAL train steps — synthetic in-memory videos through the full
+host pipeline (sampler -> mosaic -> normalize), the jitted train step
+(fwd+bwd, masked AdamW, EMA), per-epoch eval with best-ckpt logic — and
+log per-epoch loss + step-time stability to a JSONL artifact.
+
+Success criteria printed at the end:
+  - loss descends (model memorizes the synthetic label ramp)
+  - step time is stable (no leak/recompile drift across epochs)
+  - eval SRCC rises above 0 (predictions correlate with labels)
+
+Usage: python tools/train_smoke.py [epochs] [n_videos] [out.jsonl]
+(defaults 12 epochs x 16 videos = 48 steps at batch 4; ~paper shapes:
+fragment 288px / resize 112px / T=32 / B=4).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    n_videos = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/train_smoke.jsonl"
+
+    import jax
+
+    from bench import probe_tpu
+
+    err = probe_tpu()
+    if err is not None:
+        print(json.dumps({"error": f"TPU unavailable: {err}"}))
+        return
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kvq_jax_cache")
+
+    from kvq_tpu.data.datasets import make_synthetic_opt
+    from kvq_tpu.train.trainer import Trainer
+
+    sample_types = {
+        "technical": dict(
+            fragments_h=9, fragments_w=9, fsize_h=32, fsize_w=32,
+            size_h=112, size_w=112, aligned=8, clip_len=32,
+            frame_interval=4, num_clips=1,
+        )
+    }
+    mk = lambda phase, n, seed: make_synthetic_opt(  # noqa: E731
+        n_videos=n, n_frames=140, height=540, width=960,
+        sample_types=sample_types, phase=phase, seed=seed,
+    )
+    cfg = {
+        "name": "train_smoke",
+        "num_epochs": epochs,
+        "warmup_epochs": 1,
+        "ema": True,
+        "save_model": False,
+        "batch_size": 4,
+        "eval_batch_size": 4,
+        "num_workers": 2,
+        "seed": 0,
+        "ddp": False,
+        "load_path": None,
+        "data": {
+            "train": {"type": "KVQDataset", "args": mk("train", n_videos, 0)},
+            "val": {"type": "KVQDataset", "args": mk("test", 8, 0)},
+        },
+        "model": {
+            "type": "KSVQE",
+            "compute_dtype": "bfloat16",
+            "args": {
+                "KSVQE": {
+                    "backbone": {
+                        "num_samples": 1,
+                        "sample_type": "topkpertubation",
+                        "CLIP_location": 8,
+                        "cls_use": True,
+                        "tuning_stage": 1,
+                        "a1": 1,
+                        "a2": 2,
+                        "checkpoint": False,
+                        "use_pallas": True,
+                        "s2d_input": True,
+                    },
+                    "head": {"in_channels": 768, "hidden_channels": 64},
+                }
+            },
+        },
+        "optimizer": {"lr": 1e-4, "wd": 0.05},
+    }
+
+    import jax.random as jr
+
+    tr = Trainer(cfg, workdir="/tmp/train_smoke_work")
+    t0 = time.time()
+    tr.build_datasets()
+    sample = next(tr.train_loader.epoch(0))
+    tr.build_models(sample, seed=0)
+    print(f"[smoke] build {time.time() - t0:.0f}s", flush=True)
+
+    log = open(out_path, "w")
+    losses, epoch_times = [], []
+    rng = jr.key(42)
+    for ep in range(epochs):
+        rng, ep_rng = jr.split(rng)
+        t0 = time.time()
+        aux = tr.train_epoch(ep, ep_rng)
+        dt = time.time() - t0
+        steps = max(1, len(tr.train_loader.dataset) // cfg["batch_size"])
+        rec = {
+            "epoch": ep,
+            "loss": aux.get("total_loss"),
+            "epoch_s": round(dt, 2),
+            "step_ms": round(dt / steps * 1000, 1),
+        }
+        if ep % 4 == 3 or ep == epochs - 1:
+            m = tr.evaluate()
+            rec["srcc"] = float(m.srcc)
+            rec["plcc"] = float(m.plcc)
+        losses.append(rec["loss"])
+        epoch_times.append(rec["epoch_s"])
+        log.write(json.dumps(rec) + "\n")
+        log.flush()
+        print(f"[smoke] {rec}", flush=True)
+    log.close()
+
+    # stability: later epochs must not be slower than early ones beyond
+    # host-steal noise (first epoch excluded: it pays the compile)
+    import numpy as np
+
+    steady = epoch_times[1:]
+    summary = {
+        "epochs": epochs,
+        "steps": epochs * (n_videos // 4),
+        "first_loss": losses[0],
+        "last_loss": losses[-1],
+        "loss_descended": bool(losses[-1] < losses[0]),
+        "median_epoch_s": float(np.median(steady)) if steady else None,
+        "max_over_median": (
+            round(max(steady) / np.median(steady), 2) if steady else None
+        ),
+        "jsonl": out_path,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
