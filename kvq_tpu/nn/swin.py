@@ -391,12 +391,21 @@ class SwinBlock3D(nn.Module):
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    def _fused_block(self, x, window, shift):
-        """Whole-block Pallas path (eval): one HBM round trip for the token
+    def _fused_block(self, x, window, shift, train: bool = False):
+        """Whole-block Pallas path: one HBM round trip for the token
         tensor.  Only taken when the spatial dims tile the window exactly
         (the XLA path zero-pads AFTER norm1, which the fused kernel cannot
-        replicate) and the fp32 bias planes fit VMEM."""
-        from ..ops.window_attention import WindowGeometry, fused_swin_block
+        replicate) and the fp32 bias planes fit VMEM.
+
+        train=True routes through :func:`train_swin_block` — the same
+        forward kernel (plus per-window DropPath multipliers) under a
+        custom_vjp whose backward is one fused Pallas kernel producing
+        every gradient (ops/window_attention.py)."""
+        from ..ops.window_attention import (
+            WindowGeometry,
+            fused_swin_block,
+            train_swin_block,
+        )
 
         B, D, H, W, C = x.shape
         h = self.num_heads
@@ -447,10 +456,27 @@ class SwinBlock3D(nn.Module):
                          axis=(1, 2, 3))
         y = window_partition(y, window)  # (B, nW, N, C)
         nW = y.shape[1]
-        out = fused_swin_block(
-            y.reshape(B * nW, N, C), params, rel_bias, frag_bias, geometry,
-            scale=(C // h) ** -0.5,
-        )
+        if train:
+            # per-sample DropPath multipliers (mask/keep), repeated across
+            # each sample's windows — same semantics as layers.DropPath
+            if self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                rng1, rng2 = jax.random.split(self.make_rng("dropout"))
+                m1 = jax.random.bernoulli(rng1, keep, (B,)) / keep
+                m2 = jax.random.bernoulli(rng2, keep, (B,)) / keep
+                dp1 = jnp.repeat(m1.astype(jnp.float32), nW)[:, None]
+                dp2 = jnp.repeat(m2.astype(jnp.float32), nW)[:, None]
+            else:
+                dp1 = dp2 = jnp.ones((B * nW, 1), jnp.float32)
+            out = train_swin_block(
+                y.reshape(B * nW, N, C), params, rel_bias, frag_bias,
+                geometry, dp1, dp2, scale=(C // h) ** -0.5,
+            )
+        else:
+            out = fused_swin_block(
+                y.reshape(B * nW, N, C), params, rel_bias, frag_bias,
+                geometry, scale=(C // h) ** -0.5,
+            )
         out = window_reverse(out.reshape(B, nW, N, C), window, B, D, H, W)
         if any(shift):
             out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
@@ -497,18 +523,24 @@ class SwinBlock3D(nn.Module):
             + g_tiles
             + 1024 * 1024
         )
-        if (
+        can_fuse = (
             self.use_pallas
-            and not train
             and not self.jump_attention
             and no_pad
-            and vmem_est <= 80 * 1024 * 1024
             and not self.is_initializing()
             and "params" in self.variables
             and "norm1" in self.variables["params"]
             and _pallas_backend_ok()
-        ):
+        )
+        if can_fuse and not train and vmem_est <= 80 * 1024 * 1024:
             return self._fused_block(x, window, shift)
+        if can_fuse and train and self.attn_drop == 0.0 and self.drop == 0.0:
+            from ..ops.window_attention import train_block_vmem_bytes
+
+            if train_block_vmem_bytes(
+                probe, C, int(C * self.mlp_ratio)
+            ) <= 80 * 1024 * 1024:
+                return self._fused_block(x, window, shift, train=True)
 
         if not self.jump_attention:
             y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)

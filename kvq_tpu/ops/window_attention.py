@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -598,6 +599,40 @@ BIAS_CACHE_BUDGET = 40 * 1024 * 1024
 # tools/profile_block_kernel.py to measure the tradeoff.
 BIAS_CACHE_DTYPE = jnp.float32
 
+# Softmax row-max handling in the EVAL block kernel.  "fold" subtracts each
+# bias slab's per-row max at cache-build time — a per-row constant cancels
+# in softmax — so the hot path fuses bias-add + exp into ONE elementwise
+# pass over the (N, N) scores with no per-instance row-max reduction (exp
+# stays in f32: folded arguments sit at score scale, where a bf16 cast
+# would put ~0.4%-of-argument noise on the DOMINANT logits instead of the
+# negligible ones).  "row" keeps the classic per-row max subtraction.
+BLOCK_SOFTMAX = os.environ.get("KVQ_BLOCK_SOFTMAX", "fold")
+
+# GELU's erf in the EVAL block kernel.  "poly": odd minimax polynomial
+# erf(z) ~ clip(z * P(min(z^2, 9)), -1, 1), deg-10 in z^2 — max |erf| error
+# 2.2e-5 (GELU abs error <= 4.7e-5, invisible at bf16 resolution and far
+# under the 2e-4 kernel-vs-XLA test tolerance) with ZERO transcendentals;
+# "erfexp": Abramowitz-Stegun 7.1.26 (an exp + a reciprocal per element on
+# the VPU transcendental path).
+GELU_MODE = os.environ.get("KVQ_GELU", "poly")
+
+# erf(z) = z * P(z^2) power coefficients, Chebyshev-fit on |z| <= 3
+# (tools/ fit: f32 Horner max err 1.39e-5 in-range, clamp err 2.2e-5).
+_ERF_POLY = (
+    1.128378771e+00, -3.761148710e-01, 1.127822544e-01, -2.676044652e-02,
+    5.119686234e-03, -7.936017384e-04, 9.740944341e-05, -9.001324840e-06,
+    5.787369846e-07, -2.274933852e-08, 4.074324995e-10,
+)
+
+
+def _erf_poly(z):
+    """Transcendental-free erf for the block kernel's exact GELU."""
+    u = jnp.minimum(z * z, 9.0)
+    acc = jnp.float32(_ERF_POLY[-1])
+    for c in _ERF_POLY[-2::-1]:
+        acc = acc * u + jnp.float32(c)
+    return jnp.clip(z * acc, -1.0, 1.0)
+
 
 def _plan_bias_cache(geo: WindowGeometry):
     """Decide the pattern-bias caching strategy for the fused block kernel.
@@ -638,7 +673,8 @@ def _plan_bias_cache(geo: WindowGeometry):
 
 def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                        C: int, hidden: int, mode: str, p_eff: int,
-                       pb: int, eps: float = 1e-6):
+                       pb: int, eps: float = 1e-6,
+                       droppath: bool = False):
     """One grid step = `group` windows through the ENTIRE Swin block:
     LN1 -> qkv -> per-head attention -> proj -> +residual -> LN2 ->
     MLP(GELU) -> +residual.
@@ -691,6 +727,8 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
         rest = list(rest)
         fragb_ref = rest.pop(0) if use_frag else None
         maskd_ref = rest.pop(0) if d_seam else None
+        dp1_ref = rest.pop(0) if droppath else None
+        dp2_ref = rest.pop(0) if droppath else None
         out_ref = rest.pop(0)
         cache_ref = rest.pop(0) if need_cache else None
 
@@ -706,10 +744,16 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
             for window pattern ``pat`` into cache slab ``slot``."""
             gate, seam = _pattern_gate_seam(geo, pat)
             for hh in range(h):
-                cache_ref[slot, hh] = _blend_bias(
+                b = _blend_bias(
                     geo, gate, seam, relb_ref[hh],
                     fragb_ref[hh] if use_frag else None,
-                ).astype(cache_ref.dtype)
+                )
+                if BLOCK_SOFTMAX == "fold":
+                    # per-row constants cancel in softmax; folding the
+                    # slab's row max here removes the per-instance (N, N)
+                    # row-max pass from the hot loop
+                    b = b - jnp.max(b, axis=-1, keepdims=True)
+                cache_ref[slot, hh] = b.astype(cache_ref.dtype)
 
         if need_cache:
             if mode == "major":
@@ -781,11 +825,19 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                     s = s + relb_ref[hh]
                 if d_seam:
                     s = s + dmul * maskd_ref[...]
-                m = jnp.max(s, axis=-1, keepdims=True)
-                # exp in the input dtype: p feeds the AV matmul as
-                # ``v.dtype`` anyway, so on the bf16 path this halves the
-                # exp pass's VPU traffic (exact on the fp32 test path)
-                p = jnp.exp((s - m).astype(xw.dtype))
+                if BLOCK_SOFTMAX == "fold":
+                    # bias row max folded into the slab (or pre-folded
+                    # relb on the no-cache path): bias-add + exp is ONE
+                    # pass, no row-max reduction.  The min(., 60) guards
+                    # f32 exp overflow — post-LN qk logits are O(10), the
+                    # clamp only engages on pathological inputs.
+                    p = jnp.exp(jnp.minimum(s, 60.0)).astype(xw.dtype)
+                else:
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    # exp in the input dtype: max-folded arguments peak
+                    # near 0 where the bf16 cast costs nothing; p feeds
+                    # the AV matmul as ``v.dtype`` anyway
+                    p = jnp.exp((s - m).astype(xw.dtype))
                 # deferred normalization: divide the (N, hd) p@v result
                 # instead of the (N, N) probabilities
                 r = 1.0 / jnp.sum(p.astype(jnp.float32), axis=-1,
@@ -806,6 +858,10 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                 )
                 + projb_ref[0].astype(jnp.float32)
             ).astype(xw.dtype)
+            if droppath:
+                att = (att.astype(jnp.float32) * dp1_ref[g, 0]).astype(
+                    xw.dtype
+                )
             x1 = xw + att
 
             y2 = ln(x1, n2s_ref, n2b_ref).astype(xw.dtype)
@@ -818,17 +874,21 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                 + fc1b_ref[0].astype(jnp.float32)
             )
             # exact-GELU via polynomial erf (Mosaic lowers neither erf nor
-            # erfc); Abramowitz-Stegun 7.1.26, max abs error 1.5e-7 — far
-            # below the bf16 resolution of the surrounding network
+            # erfc); see GELU_MODE — default is the transcendental-free
+            # minimax poly, "erfexp" keeps Abramowitz-Stegun 7.1.26
+            # (max abs error 1.5e-7, but an exp + a reciprocal/element)
             z = hmid * (2.0 ** -0.5)
-            sgn = jnp.sign(z)
-            az = jnp.abs(z)
-            t = 1.0 / (1.0 + 0.3275911 * az)
-            poly = (
-                ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
-                 - 0.284496736) * t + 0.254829592
-            ) * t
-            erf_z = sgn * (1.0 - poly * jnp.exp(-az * az))
+            if GELU_MODE == "poly":
+                erf_z = _erf_poly(z)
+            else:
+                sgn = jnp.sign(z)
+                az = jnp.abs(z)
+                t = 1.0 / (1.0 + 0.3275911 * az)
+                poly = (
+                    ((((1.061405429 * t - 1.453152027) * t) + 1.421413741)
+                     * t - 0.284496736) * t + 0.254829592
+                ) * t
+                erf_z = sgn * (1.0 - poly * jnp.exp(-az * az))
             hmid = (0.5 * hmid * (1.0 + erf_z)).astype(xw.dtype)
             mlp = (
                 jax.lax.dot_general(
@@ -838,6 +898,10 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                 )
                 + fc2b_ref[0].astype(jnp.float32)
             ).astype(xw.dtype)
+            if droppath:
+                mlp = (mlp.astype(jnp.float32) * dp2_ref[g, 0]).astype(
+                    xw.dtype
+                )
             out_ref[g] = x1 + mlp
             return 0
 
@@ -854,10 +918,16 @@ def fused_swin_block(
     geo: WindowGeometry,
     scale: float | None = None,
     interpret: bool = False,
+    dp1=None,
+    dp2=None,
 ):
     """x: (BW, N, C) partitioned+rolled tokens; params holds the block's
     weights (norm1/qkv/proj/norm2/fc1/fc2 with flax names); rel/frag bias
     (h, N, N) fp32.  Returns (BW, N, C) — the full block output.
+
+    dp1/dp2: optional (BW, 1) f32 DropPath multipliers (mask/keep, per
+    window) applied to the attention / MLP residual branches — the train
+    forward path passes these; eval passes None.
 
     VMEM feasibility is the caller's contract (SwinBlock3D gates on an
     estimate of planes + weights + tiles <= 80 MB against the kernel's
@@ -877,45 +947,25 @@ def fused_swin_block(
     d_seam = bool(sd)
     p_eff, mode, pb = _plan_bias_cache(geo)
     need_cache = geo.use_frag or bool(geo.shift[1] or geo.shift[2])
+    if BLOCK_SOFTMAX == "fold" and not need_cache:
+        # no-cache blocks read the rel plane directly — fold its row max
+        # here (tiny (h, N, N) XLA op) so the kernel's fused add+exp path
+        # holds on every block; cached blocks fold at slab build instead
+        rel_bias = rel_bias - jnp.max(rel_bias, axis=-1, keepdims=True)
 
-    if mode == "major":
-        # pattern-major 2-D grid: the slow axis walks pattern chunks, the
-        # fast axis the B*Dw window instances of those patterns — so each
-        # bias-cache slab is filled once and reused across the whole sweep
-        G = pb
-        grid = (P // pb, BW // P)
+    # pattern-major 2-D grid ('major'): the slow axis walks pattern
+    # chunks, the fast axis the B*Dw window instances of those patterns —
+    # each bias-cache slab is filled once and reused across the whole
+    # sweep.  'resident': 1-D window-chunk grid, all patterns cached.
+    (G, grid, tile_map, const_map, full_map, dp_map,
+     mode2, p_eff2, pb2) = _block_grid_plan(geo, BW, x.dtype.itemsize, N, C)
+    assert (mode2, p_eff2, pb2) == (mode, p_eff, pb)
 
-        def tile_map(pc, bd):
-            return (bd * (P // pb) + pc, 0, 0)
-
-        def const_map(pc, bd):
-            return (0, 0)
-
-        def full_map(pc, bd):
-            return (0, 0, 0)
-    else:
-        # group: qkv (N,3C) + hidden (N,4C) + s/p (N,N) fp32 are per-window
-        # scratch; x tiles are G*N*C*2.  Budget conservatively.
-        budget = 4 * 1024 * 1024
-        per_window = 2 * N * C * x.dtype.itemsize
-        G = 1
-        for g in (8, 4, 2, 1):
-            if BW % g == 0 and g * per_window <= budget:
-                G = g
-                break
-        grid = (BW // G,)
-
-        def tile_map(chunk):
-            return (chunk, 0, 0)
-
-        def const_map(chunk):
-            return (0, 0)
-
-        def full_map(chunk):
-            return (0, 0, 0)
-
+    droppath = dp1 is not None
+    assert (dp2 is not None) == droppath
     kernel = _make_block_kernel(
-        geo, float(scale), G, C, hidden, mode, p_eff, pb
+        geo, float(scale), G, C, hidden, mode, p_eff, pb,
+        droppath=droppath,
     )
 
     def vec(p):  # (C,) -> (1, C) so Mosaic gets a 2-D block
@@ -948,6 +998,10 @@ def fused_swin_block(
     if d_seam:
         args.append(_d_seam_mask(geo))
         in_specs.append(mat_spec(args[-1]))
+    if droppath:
+        dp_spec = pl.BlockSpec((G, 1), dp_map, memory_space=pltpu.VMEM)
+        args += [dp1, dp2]
+        in_specs += [dp_spec, dp_spec]
     n_planes = 1 + int(geo.use_frag)
     out = pl.pallas_call(
         kernel,
@@ -964,7 +1018,9 @@ def fused_swin_block(
                                 + 2 * C * hidden),
             bytes_accessed=2 * BW * N * C * x.dtype.itemsize
             + n_planes * h * N * N * 4,
-            transcendentals=BW * (h * N * N + N * hidden),
+            transcendentals=BW * h * N * N + (
+                0 if GELU_MODE == "poly" else BW * N * hidden
+            ),
         ),
         # Raise Mosaic's scoped-VMEM ceiling (default 16 MB) so the fp32
         # bias cache of the wide stages (12/24 heads, with fragment bias)
@@ -1403,3 +1459,553 @@ def window_attention_train(q, k, v, rel_bias, frag_bias,
     if geo.use_frag:
         return _wat_frag(geo, float(scale), q, k, v, rel_bias, frag_bias)
     return _wat_nofrag(geo, float(scale), q, k, v, rel_bias)
+
+
+# ---------------------------------------------------------------------------
+# Whole-block training kernel: fused fwd (the eval block kernel + DropPath)
+# and a fused bwd that recomputes the forward per window and produces every
+# gradient — dx, all weight/bias/LN grads, and the rel/frag table-plane
+# grads — in ONE pallas_call.  The XLA train composition of the same block
+# (LN/qkv/partition/attn-kernel/proj/LN/MLP + autodiff) measured 139 ms of
+# the 201 ms B=4xT=32 KSVQE train step (tools/profile_train_cuts.py); this
+# kernel exists to collapse that the same way fused_swin_block collapsed
+# the eval trunk (204 -> ~50 ms at T=96).
+#
+# Weight-gradient accumulation uses the sequential-TPU-grid idiom already
+# proven by _make_train_bwd_kernel's drel accumulation: output refs with a
+# CONSTANT index map stay VMEM-resident across grid steps; the first step
+# zeroes them, every step accumulates its windows, and the final writeback
+# flushes the totals.  All accumulation is f32 regardless of compute dtype.
+
+
+def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
+                                 group: int, C: int, hidden: int,
+                                 mode: str, p_eff: int, pb: int,
+                                 eps: float = 1e-6):
+    Dp, Hp, Wp = geo.dims
+    Dw, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    use_frag = geo.use_frag
+    hw_shifted = bool(geo.shift[1] or geo.shift[2])
+    d_seam = bool(geo.shift[0])
+    need_cache = use_frag or hw_shifted
+    h = geo.num_heads
+    hd = geo.head_dim
+    _check_frag_grid(geo)
+    inv_sqrt2 = 2.0 ** -0.5
+    pdf_c = 0.5 * math.sqrt(2.0 / math.pi)
+
+    def kernel(x_ref, n1s_ref, n1b_ref, qkvw_ref, qkvb_ref,
+               projw_ref, projb_ref, n2s_ref, n2b_ref,
+               fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref,
+               relb_ref, *rest):
+        rest = list(rest)
+        fragb_ref = rest.pop(0) if use_frag else None
+        maskd_ref = rest.pop(0) if d_seam else None
+        dp1_ref = rest.pop(0)
+        dp2_ref = rest.pop(0)
+        do_ref = rest.pop(0)
+        # outputs
+        dx_ref = rest.pop(0)
+        dn1s_ref = rest.pop(0)
+        dn1b_ref = rest.pop(0)
+        dqkvw_ref = rest.pop(0)
+        dqkvb_ref = rest.pop(0)
+        dprojw_ref = rest.pop(0)
+        dprojb_ref = rest.pop(0)
+        dn2s_ref = rest.pop(0)
+        dn2b_ref = rest.pop(0)
+        dfc1w_ref = rest.pop(0)
+        dfc1b_ref = rest.pop(0)
+        dfc2w_ref = rest.pop(0)
+        dfc2b_ref = rest.pop(0)
+        drel_ref = rest.pop(0)
+        dfrag_ref = rest.pop(0) if use_frag else None
+        # scratch
+        cache_ref = rest.pop(0) if need_cache else None
+        gcache_ref = rest.pop(0) if use_frag else None
+
+        if mode == "major":
+            pc = pl.program_id(0)
+            bd = pl.program_id(1)
+            dlast = jax.lax.rem(bd, Dw) == Dw - 1
+            first = jnp.logical_and(pc == 0, bd == 0)
+            cache_first = bd == 0
+        else:
+            chunk = pl.program_id(0)
+            first = chunk == 0
+            cache_first = chunk == 0
+
+        if need_cache:
+            # per-head slabs: fill all heads of each pattern
+            def fill_all(i, _):
+                pat = (pc * pb + i) if mode == "major" else i
+                gate, seam = _pattern_gate_seam(geo, pat)
+                if use_frag:
+                    gcache_ref[i] = gate
+                for hh in range(h):
+                    b = _blend_bias(
+                        geo, gate, seam, relb_ref[hh],
+                        fragb_ref[hh] if use_frag else None,
+                    )
+                    # fold the slab row max (cancels in softmax; keeps the
+                    # recompute's fused add+exp in one pass, matching fwd)
+                    b = b - jnp.max(b, axis=-1, keepdims=True)
+                    cache_ref[i, hh] = b.astype(cache_ref.dtype)
+                return 0
+
+            @pl.when(cache_first)
+            def _():
+                jax.lax.fori_loop(0, pb, fill_all, 0)
+
+        @pl.when(first)
+        def _():
+            dn1s_ref[...] = jnp.zeros_like(dn1s_ref)
+            dn1b_ref[...] = jnp.zeros_like(dn1b_ref)
+            dqkvw_ref[...] = jnp.zeros_like(dqkvw_ref)
+            dqkvb_ref[...] = jnp.zeros_like(dqkvb_ref)
+            dprojw_ref[...] = jnp.zeros_like(dprojw_ref)
+            dprojb_ref[...] = jnp.zeros_like(dprojb_ref)
+            dn2s_ref[...] = jnp.zeros_like(dn2s_ref)
+            dn2b_ref[...] = jnp.zeros_like(dn2b_ref)
+            dfc1w_ref[...] = jnp.zeros_like(dfc1w_ref)
+            dfc1b_ref[...] = jnp.zeros_like(dfc1b_ref)
+            dfc2w_ref[...] = jnp.zeros_like(dfc2w_ref)
+            dfc2b_ref[...] = jnp.zeros_like(dfc2b_ref)
+            drel_ref[...] = jnp.zeros_like(drel_ref)
+            if use_frag:
+                dfrag_ref[...] = jnp.zeros_like(dfrag_ref)
+
+        def ln_fwd(xf, s_ref, b_ref):
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            var = jnp.maximum(0.0, mu2 - mu * mu)
+            r = jax.lax.rsqrt(var + eps)
+            xhat = (xf - mu) * r
+            y = xhat * s_ref[0].astype(jnp.float32) + b_ref[0].astype(
+                jnp.float32
+            )
+            return y, xhat, r
+
+        def ln_bwd(dy, xhat, r, s_ref):
+            dxhat = dy * s_ref[0].astype(jnp.float32)
+            m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+            m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+            return r * (dxhat - m1 - xhat * m2)
+
+        def mm(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(dims, ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def body(g, _):
+            if mode == "major":
+                slot = g
+                dflag = dlast
+            else:
+                w = chunk * group + g
+                slot = jax.lax.rem(w, P) if p_eff > 1 else 0
+                dflag = jax.lax.rem(w // P, Dw) == Dw - 1
+            if d_seam:
+                dmul = jnp.where(dflag, jnp.float32(1.0), jnp.float32(0.0))
+
+            xw = x_ref[g]
+            dt = xw.dtype
+            xf = xw.astype(jnp.float32)
+            do = do_ref[g].astype(jnp.float32)
+            dp1 = dp1_ref[g, 0]
+            dp2 = dp2_ref[g, 0]
+
+            # ---- forward recompute ----
+            y1f, xhat1, r1 = ln_fwd(xf, n1s_ref, n1b_ref)
+            y1 = y1f.astype(dt)
+            qkv = (
+                mm(y1, qkvw_ref[...], ((1,), (0,)))
+                + qkvb_ref[0].astype(jnp.float32)
+            ).astype(dt)
+
+            heads = []
+            for hh in range(h):
+                qs = (qkv[:, hh * hd:(hh + 1) * hd].astype(jnp.float32)
+                      * scale).astype(dt)
+                k = qkv[:, C + hh * hd: C + (hh + 1) * hd]
+                v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd]
+                s = mm(qs, k, ((1,), (1,)))
+                if need_cache:
+                    s = s + cache_ref[slot, hh].astype(jnp.float32)
+                else:
+                    s = s + relb_ref[hh]
+                if d_seam:
+                    s = s + dmul * maskd_ref[...]
+                p = jnp.exp(jnp.minimum(s, 60.0))
+                rinv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                pn = p * rinv  # normalized probabilities, f32
+                pnd = pn.astype(dt)
+                o_h = mm(pnd, v, ((1,), (0,)))  # (N, hd) f32
+                heads.append((qs, k, v, pn, pnd, o_h))
+
+            att_cat = jnp.concatenate(
+                [o.astype(dt) for *_x, o in heads], axis=-1
+            )
+            att = (
+                mm(att_cat, projw_ref[...], ((1,), (0,)))
+                + projb_ref[0].astype(jnp.float32)
+            )
+            x1 = xf + dp1 * att
+            y2f, xhat2, r2 = ln_fwd(x1, n2s_ref, n2b_ref)
+            y2 = y2f.astype(dt)
+            h1 = (
+                mm(y2, fc1w_ref[...], ((1,), (0,)))
+                + fc1b_ref[0].astype(jnp.float32)
+            )
+            z = h1 * inv_sqrt2
+            erf_z = _erf_poly(z)
+            phi = 0.5 * (1.0 + erf_z)
+            g1 = h1 * phi
+            g1d = g1.astype(dt)
+
+            # ---- backward ----
+            dm2 = do * dp2  # (N, C)
+            dm2d = dm2.astype(dt)
+            dfc2w_ref[...] += mm(g1d, dm2d, ((0,), (0,)))
+            dfc2b_ref[...] += jnp.sum(dm2, axis=0, keepdims=True)
+            dg1 = mm(dm2d, fc2w_ref[...], ((1,), (1,)))  # (N, hidden)
+            dh1 = dg1 * (phi + h1 * pdf_c * jnp.exp(-z * z))
+            dh1d = dh1.astype(dt)
+            dfc1w_ref[...] += mm(y2, dh1d, ((0,), (0,)))
+            dfc1b_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+            dy2 = mm(dh1d, fc1w_ref[...], ((1,), (1,)))  # (N, C)
+            dn2s_ref[...] += jnp.sum(dy2 * xhat2, axis=0, keepdims=True)
+            dn2b_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
+            dx1 = do + ln_bwd(dy2, xhat2, r2, n2s_ref)
+
+            datt = dx1 * dp1
+            dattd = datt.astype(dt)
+            dprojw_ref[...] += mm(att_cat, dattd, ((0,), (0,)))
+            dprojb_ref[...] += jnp.sum(datt, axis=0, keepdims=True)
+            dao = mm(dattd, projw_ref[...], ((1,), (1,)))  # (N, C)
+
+            dqs, dks, dvs = [], [], []
+            for hh in range(h):
+                qs, k, v, pn, pnd, o_h = heads[hh]
+                dao_h = dao[:, hh * hd:(hh + 1) * hd]
+                dao_d = dao_h.astype(dt)
+                dvs.append(mm(pnd, dao_d, ((0,), (0,))).astype(dt))
+                dpn = mm(dao_d, v, ((1,), (1,)))  # (N, N) f32
+                dsum = jnp.sum(dao_h * o_h, axis=-1, keepdims=True)
+                ds = pn * (dpn - dsum)
+                if use_frag:
+                    gate = gcache_ref[slot]
+                    drel_ref[hh] += ds * gate
+                    dfrag_ref[hh] += ds * (1.0 - gate)
+                else:
+                    drel_ref[hh] += ds
+                dsd = ds.astype(dt)
+                dqs.append(
+                    (mm(dsd, k, ((1,), (0,))) * scale).astype(dt)
+                )
+                dks.append(mm(dsd, qs, ((0,), (0,))).astype(dt))
+
+            dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (N,3C) dt
+            dqkv_f = dqkv.astype(jnp.float32)
+            dqkvw_ref[...] += mm(y1, dqkv, ((0,), (0,)))
+            dqkvb_ref[...] += jnp.sum(dqkv_f, axis=0, keepdims=True)
+            dy1 = mm(dqkv, qkvw_ref[...], ((1,), (1,)))  # (N, C)
+            dn1s_ref[...] += jnp.sum(dy1 * xhat1, axis=0, keepdims=True)
+            dn1b_ref[...] += jnp.sum(dy1, axis=0, keepdims=True)
+            dx = dx1 + ln_bwd(dy1, xhat1, r1, n1s_ref)
+            dx_ref[g] = dx.astype(dx_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, group, body, 0)
+
+    return kernel
+
+
+def _block_grid_plan(geo: WindowGeometry, BW: int, itemsize: int,
+                     N: int, C: int):
+    """Shared grid/index-map planning for the fused block kernels (eval
+    fwd, train fwd, train bwd) — one source of truth so the three calls
+    cannot drift apart."""
+    Dw, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    p_eff, mode, pb = _plan_bias_cache(geo)
+
+    if mode == "major":
+        G = pb
+        grid = (P // pb, BW // P)
+
+        def tile_map(pc, bd):
+            return (bd * (P // pb) + pc, 0, 0)
+
+        def const_map(pc, bd):
+            return (0, 0)
+
+        def full_map(pc, bd):
+            return (0, 0, 0)
+
+        def dp_map(pc, bd):
+            return (bd * (P // pb) + pc, 0)
+    else:
+        budget = 4 * 1024 * 1024
+        per_window = 2 * N * C * itemsize
+        G = 1
+        for g in (8, 4, 2, 1):
+            if BW % g == 0 and g * per_window <= budget:
+                G = g
+                break
+        grid = (BW // G,)
+
+        def tile_map(chunk):
+            return (chunk, 0, 0)
+
+        def const_map(chunk):
+            return (0, 0)
+
+        def full_map(chunk):
+            return (0, 0, 0)
+
+        def dp_map(chunk):
+            return (chunk, 0)
+
+    return G, grid, tile_map, const_map, full_map, dp_map, mode, p_eff, pb
+
+
+def train_block_vmem_bytes(geo: WindowGeometry, C: int, hidden: int) -> int:
+    """Rough VMEM footprint of the train-block BWD kernel (the larger of
+    the two), used by SwinBlock3D to gate the fused train path the same
+    way the eval path gates on its own estimate."""
+    N = geo.n_tokens
+    h = geo.num_heads
+    use_frag = geo.use_frag
+    need_cache = use_frag or bool(geo.shift[1] or geo.shift[2])
+    _, mode, pb = _plan_bias_cache(geo)
+    n_planes = 1 + int(use_frag)
+    est = 0
+    if need_cache:
+        est += pb * h * N * N * 4           # bias cache
+    if use_frag:
+        est += pb * N * N * 4               # gate cache
+    est += 2 * n_planes * h * N * N * 4     # relb/fragb in + drel/dfrag out
+    wbytes = (3 * C * C + C * C + 2 * C * hidden)
+    est += wbytes * 2                       # weights (bf16)
+    est += wbytes * 4                       # f32 grad accumulators
+    est += 10 * N * N * 4                   # live score/prob/grad planes
+    est += 4 * N * 3 * C * 4                # qkv/dqkv planes
+    est += 3 * 8 * N * C * 2                # x/dx/do tiles (G<=8)
+    est += 2 * 1024 * 1024                  # slack
+    return est
+
+
+def _block_train_bwd_impl(geo, scale, interpret, x, params, rel, frag,
+                          dp1, dp2, dout):
+    BW, N, C = x.shape
+    h = geo.num_heads
+    hidden = params["fc1_w"].shape[1]
+    need_cache = geo.use_frag or bool(geo.shift[1] or geo.shift[2])
+    d_seam = bool(geo.shift[0])
+    rel_in = rel
+    if not need_cache:
+        # fold the rel plane's row max for the in-kernel p recompute
+        # (per-row constants cancel in softmax; the TRUE function — and
+        # therefore every gradient, drel included — is unchanged)
+        rel_in = rel - jnp.max(rel, axis=-1, keepdims=True)
+
+    (G, grid, tile_map, const_map, full_map, dp_map,
+     mode, p_eff, pb) = _block_grid_plan(geo, BW, x.dtype.itemsize, N, C)
+
+    def vec(p):
+        return p.reshape(1, -1)
+
+    spec_x = pl.BlockSpec((G, N, C), tile_map, memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec((G, 1), dp_map, memory_space=pltpu.VMEM)
+
+    def mat_spec(a):
+        return pl.BlockSpec(a.shape, const_map, memory_space=pltpu.VMEM)
+
+    def bias_spec(a):
+        return pl.BlockSpec(a.shape, full_map, memory_space=pltpu.VMEM)
+
+    args = [
+        x,
+        vec(params["norm1_scale"]), vec(params["norm1_bias"]),
+        params["qkv_w"], vec(params["qkv_b"]),
+        params["proj_w"], vec(params["proj_b"]),
+        vec(params["norm2_scale"]), vec(params["norm2_bias"]),
+        params["fc1_w"], vec(params["fc1_b"]),
+        params["fc2_w"], vec(params["fc2_b"]),
+        rel_in,
+    ]
+    in_specs = [spec_x] + [mat_spec(a) for a in args[1:13]] + [
+        bias_spec(rel_in)
+    ]
+    if geo.use_frag:
+        args.append(frag)
+        in_specs.append(bias_spec(frag))
+    if d_seam:
+        args.append(_d_seam_mask(geo))
+        in_specs.append(mat_spec(args[-1]))
+    args += [dp1, dp2, dout]
+    in_specs += [dp_spec, dp_spec, spec_x]
+
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),          # dx
+        jax.ShapeDtypeStruct((1, C), f32),               # dn1s
+        jax.ShapeDtypeStruct((1, C), f32),               # dn1b
+        jax.ShapeDtypeStruct((C, 3 * C), f32),           # dqkvw
+        jax.ShapeDtypeStruct((1, 3 * C), f32),           # dqkvb
+        jax.ShapeDtypeStruct((C, C), f32),               # dprojw
+        jax.ShapeDtypeStruct((1, C), f32),               # dprojb
+        jax.ShapeDtypeStruct((1, C), f32),               # dn2s
+        jax.ShapeDtypeStruct((1, C), f32),               # dn2b
+        jax.ShapeDtypeStruct((C, hidden), f32),          # dfc1w
+        jax.ShapeDtypeStruct((1, hidden), f32),          # dfc1b
+        jax.ShapeDtypeStruct((hidden, C), f32),          # dfc2w
+        jax.ShapeDtypeStruct((1, C), f32),               # dfc2b
+        jax.ShapeDtypeStruct((h, N, N), f32),            # drel
+    ]
+    out_specs = [spec_x] + [
+        mat_spec(s) for s in out_shapes[1:13]
+    ] + [bias_spec(out_shapes[13])]
+    if geo.use_frag:
+        out_shapes.append(jax.ShapeDtypeStruct((h, N, N), f32))
+        out_specs.append(bias_spec(out_shapes[-1]))
+
+    scratch = []
+    if need_cache:
+        scratch.append(pltpu.VMEM((pb, h, N, N), f32))
+    if geo.use_frag:
+        scratch.append(pltpu.VMEM((pb, N, N), f32))
+
+    kernel = _make_block_train_bwd_kernel(
+        geo, float(scale), G, C, hidden, mode, p_eff, pb
+    )
+    n_planes = 1 + int(geo.use_frag)
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * BW * N * (3 * C * C + 2 * N * geo.head_dim * h
+                                    + C * C + 2 * C * hidden),
+            bytes_accessed=4 * BW * N * C * x.dtype.itemsize
+            + 2 * n_planes * h * N * N * 4,
+            transcendentals=2 * BW * h * N * N + BW * N * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+
+    (dx, dn1s, dn1b, dqkvw, dqkvb, dprojw, dprojb, dn2s, dn2b,
+     dfc1w, dfc1b, dfc2w, dfc2b, drel) = res[:14]
+    dfrag = res[14] if geo.use_frag else None
+
+    def like(gr, p):
+        return gr.reshape(p.shape).astype(p.dtype)
+
+    dparams = {
+        "norm1_scale": like(dn1s, params["norm1_scale"]),
+        "norm1_bias": like(dn1b, params["norm1_bias"]),
+        "qkv_w": like(dqkvw, params["qkv_w"]),
+        "qkv_b": like(dqkvb, params["qkv_b"]),
+        "proj_w": like(dprojw, params["proj_w"]),
+        "proj_b": like(dprojb, params["proj_b"]),
+        "norm2_scale": like(dn2s, params["norm2_scale"]),
+        "norm2_bias": like(dn2b, params["norm2_bias"]),
+        "fc1_w": like(dfc1w, params["fc1_w"]),
+        "fc1_b": like(dfc1b, params["fc1_b"]),
+        "fc2_w": like(dfc2w, params["fc2_w"]),
+        "fc2_b": like(dfc2b, params["fc2_b"]),
+    }
+    drel = drel.astype(rel.dtype)
+    if geo.use_frag:
+        dfrag = dfrag.astype(frag.dtype)
+    return dx, dparams, drel, dfrag
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _tsb_frag(geo, scale, interpret, x, params, rel, frag, dp1, dp2):
+    return fused_swin_block(
+        x, params, rel, frag, geo, scale=scale, interpret=interpret,
+        dp1=dp1, dp2=dp2,
+    )
+
+
+def _tsb_frag_fwd(geo, scale, interpret, x, params, rel, frag, dp1, dp2):
+    out = _tsb_frag(geo, scale, interpret, x, params, rel, frag, dp1, dp2)
+    return out, (x, params, rel, frag, dp1, dp2)
+
+
+def _tsb_frag_bwd(geo, scale, interpret, res, dout):
+    x, params, rel, frag, dp1, dp2 = res
+    dx, dparams, drel, dfrag = _block_train_bwd_impl(
+        geo, scale, interpret, x, params, rel, frag, dp1, dp2, dout
+    )
+    return dx, dparams, drel, dfrag, jnp.zeros_like(dp1), jnp.zeros_like(dp2)
+
+
+_tsb_frag.defvjp(_tsb_frag_fwd, _tsb_frag_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _tsb_nofrag(geo, scale, interpret, x, params, rel, dp1, dp2):
+    return fused_swin_block(
+        x, params, rel, None, geo, scale=scale, interpret=interpret,
+        dp1=dp1, dp2=dp2,
+    )
+
+
+def _tsb_nofrag_fwd(geo, scale, interpret, x, params, rel, dp1, dp2):
+    out = _tsb_nofrag(geo, scale, interpret, x, params, rel, dp1, dp2)
+    return out, (x, params, rel, dp1, dp2)
+
+
+def _tsb_nofrag_bwd(geo, scale, interpret, res, dout):
+    x, params, rel, dp1, dp2 = res
+    dx, dparams, drel, _ = _block_train_bwd_impl(
+        geo, scale, interpret, x, params, rel, None, dp1, dp2, dout
+    )
+    return dx, dparams, drel, jnp.zeros_like(dp1), jnp.zeros_like(dp2)
+
+
+_tsb_nofrag.defvjp(_tsb_nofrag_fwd, _tsb_nofrag_bwd)
+
+
+def train_swin_block(x, params, rel_bias, frag_bias, geo: WindowGeometry,
+                     dp1, dp2, scale: float | None = None,
+                     interpret: bool = False):
+    """Differentiable fused whole-Swin-block for the TRAINING path.
+
+    Forward = :func:`fused_swin_block` (LN1 -> qkv -> windowed attention
+    with dual bias -> proj -> DropPath residual -> LN2 -> MLP -> DropPath
+    residual); backward = one Pallas kernel that recomputes the forward
+    per window (flash-style, nothing but the inputs is saved) and emits
+    dx plus every weight/LN/bias-table gradient, accumulated in f32
+    across the sequential TPU grid.
+
+    x: (BW, N, C) partitioned+rolled tokens; dp1/dp2: (BW, 1) f32
+    DropPath multipliers (mask/keep per window; pass ones when the rate
+    is 0).  Semantics match the XLA train composition in SwinBlock3D
+    (reference swin_backbone.py:245-326); no attention/proj dropout —
+    callers gate on those being 0.
+    """
+    BW, N, C = x.shape
+    if scale is None:
+        scale = geo.head_dim ** -0.5
+    assert (frag_bias is not None) == geo.use_frag
+    assert dp1 is not None and dp2 is not None
+    if geo.use_frag:
+        return _tsb_frag(
+            geo, float(scale), interpret, x, params, rel_bias, frag_bias,
+            dp1, dp2,
+        )
+    return _tsb_nofrag(
+        geo, float(scale), interpret, x, params, rel_bias, dp1, dp2,
+    )

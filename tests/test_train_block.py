@@ -1,0 +1,236 @@
+"""Fused whole-block TRAIN kernel: forward + every gradient vs the XLA
+composition (interpret mode on CPU; Mosaic compiles the same code on TPU).
+
+Golden = a plain-JAX differentiable block using the same window/bias
+helpers the model path uses (fragment gate + additive shift mask), exact
+erf GELU, and DropPath multipliers — autodiff through it gives reference
+gradients for x, all weights, and both bias tables.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kvq_tpu.nn import swin as S
+from kvq_tpu.ops.window_attention import WindowGeometry, train_swin_block
+
+pytestmark = pytest.mark.slow
+
+
+def _golden_block(x, params, rel, frag, gate, mask, dp1, dp2, h, scale):
+    """Differentiable XLA reference of one Swin block at (BW, N, C)."""
+    BW, N, C = x.shape
+    hd = C // h
+    nW = gate.shape[0] if gate is not None else (
+        mask.shape[0] if mask is not None else BW
+    )
+
+    def ln(t, s, b):
+        mu = t.mean(-1, keepdims=True)
+        var = jnp.maximum(0.0, (t * t).mean(-1, keepdims=True) - mu * mu)
+        return (t - mu) * jax.lax.rsqrt(var + 1e-6) * s + b
+
+    y = ln(x, params["norm1_scale"], params["norm1_bias"])
+    qkv = y @ params["qkv_w"] + params["qkv_b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):  # (BW, N, C) -> (BW, h, N, hd)
+        return t.reshape(BW, N, h, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q) * scale, heads(k), heads(v)
+    s = jnp.einsum("whnd,whmd->whnm", q, k)
+    if frag is not None:
+        bias = rel[None] * gate[:, None] + frag[None] * (1 - gate[:, None])
+        bias = jnp.tile(bias, (BW // nW, 1, 1, 1))
+    else:
+        bias = jnp.broadcast_to(rel[None], s.shape)
+    s = s + bias
+    if mask is not None:
+        s = s + jnp.tile(mask[:, None], (BW // nW, 1, 1, 1))
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("whnm,whmd->whnd", p, v)
+    o = o.transpose(0, 2, 1, 3).reshape(BW, N, C)
+    att = o @ params["proj_w"] + params["proj_b"]
+    x1 = x + dp1[:, :, None] * att
+    y2 = ln(x1, params["norm2_scale"], params["norm2_bias"])
+    mlp = jax.nn.gelu(
+        y2 @ params["fc1_w"] + params["fc1_b"], approximate=False
+    ) @ params["fc2_w"] + params["fc2_b"]
+    return x1 + dp2[:, :, None] * mlp
+
+
+@pytest.mark.parametrize(
+    "shift,use_frag,droppath",
+    [
+        ((1, 3, 3), True, True),
+        ((1, 3, 3), False, False),
+        ((0, 0, 0), True, False),
+        ((0, 0, 0), False, True),
+    ],
+)
+def test_train_block_grads_match_xla(shift, use_frag, droppath):
+    dims, window = (4, 14, 14), (2, 7, 7)
+    B, h, hd = 1, 2, 8
+    C = h * hd
+    hidden = 2 * C
+    N = window[0] * window[1] * window[2]
+    nW = (dims[0] // window[0]) * (dims[1] // window[1]) * (
+        dims[2] // window[2]
+    )
+    BW = B * nW
+    rng = np.random.default_rng(3)
+
+    params = {
+        "norm1_scale": jnp.asarray(
+            1 + 0.1 * rng.normal(size=(C,)), jnp.float32),
+        "norm1_bias": jnp.asarray(0.1 * rng.normal(size=(C,)), jnp.float32),
+        "qkv_w": jnp.asarray(
+            rng.normal(size=(C, 3 * C), scale=0.3), jnp.float32),
+        "qkv_b": jnp.asarray(0.1 * rng.normal(size=(3 * C,)), jnp.float32),
+        "proj_w": jnp.asarray(
+            rng.normal(size=(C, C), scale=0.3), jnp.float32),
+        "proj_b": jnp.asarray(0.1 * rng.normal(size=(C,)), jnp.float32),
+        "norm2_scale": jnp.asarray(
+            1 + 0.1 * rng.normal(size=(C,)), jnp.float32),
+        "norm2_bias": jnp.asarray(0.1 * rng.normal(size=(C,)), jnp.float32),
+        "fc1_w": jnp.asarray(
+            rng.normal(size=(C, hidden), scale=0.3), jnp.float32),
+        "fc1_b": jnp.asarray(0.1 * rng.normal(size=(hidden,)), jnp.float32),
+        "fc2_w": jnp.asarray(
+            rng.normal(size=(hidden, C), scale=0.3), jnp.float32),
+        "fc2_b": jnp.asarray(0.1 * rng.normal(size=(C,)), jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(BW, N, C)), jnp.float32)
+    rel = jnp.asarray(rng.normal(size=(h, N, N), scale=0.5), jnp.float32)
+    frag = (
+        jnp.asarray(rng.normal(size=(h, N, N), scale=0.5), jnp.float32)
+        if use_frag else None
+    )
+    if droppath:
+        keep = 0.8
+        dp = (rng.random(size=(2, B)) < keep).astype(np.float32) / keep
+        dp1 = jnp.asarray(np.repeat(dp[0], nW)[:, None])
+        dp2 = jnp.asarray(np.repeat(dp[1], nW)[:, None])
+    else:
+        dp1 = dp2 = jnp.ones((BW, 1), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(BW, N, C)), jnp.float32)
+
+    geo = WindowGeometry(
+        batch=B, dims=dims, window=window, shift=shift,
+        fragments=(1, 7, 7), num_heads=h, head_dim=hd, use_frag=use_frag,
+    )
+    gate = (
+        jnp.asarray(S.fragment_gate(dims, (1, 7, 7), window, shift))
+        if use_frag else None
+    )
+    mask_np = S.compute_shift_mask(dims, window, shift)
+    mask = None if mask_np is None else jnp.asarray(mask_np)
+
+    def loss_kernel(x, params, rel, frag):
+        out = train_swin_block(
+            x, params, rel, frag, geo, dp1, dp2,
+            scale=hd ** -0.5, interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    def loss_golden(x, params, rel, frag):
+        out = _golden_block(
+            x, params, rel, frag, gate, mask, dp1, dp2, h, hd ** -0.5
+        )
+        return jnp.sum(out * cot)
+
+    argnums = (0, 1, 2) if frag is None else (0, 1, 2, 3)
+    vk, gk = jax.value_and_grad(loss_kernel, argnums=argnums)(
+        x, params, rel, frag
+    )
+    vg, gg = jax.value_and_grad(loss_golden, argnums=argnums)(
+        x, params, rel, frag
+    )
+
+    np.testing.assert_allclose(float(vk), float(vg), rtol=2e-5)
+    names = ["dx", "dparams", "drel", "dfrag"][: len(argnums)]
+    for name, a, b in zip(names, gk, gg):
+        fa = jax.tree_util.tree_leaves(a)
+        fb = jax.tree_util.tree_leaves(b)
+        for la, lb in zip(fa, fb):
+            scale_ref = max(1e-3, float(jnp.abs(lb).max()))
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb),
+                atol=5e-4 * scale_ref, rtol=2e-3,
+                err_msg=f"{name} mismatch",
+            )
+
+
+def test_swin_train_pallas_grads_match_xla_path():
+    """Full SwinTransformer3D TRAIN-path equivalence: use_pallas routes
+    blocks through train_swin_block (fused fwd + fused bwd custom_vjp);
+    values and every parameter gradient must match the XLA train path."""
+    import kvq_tpu.ops.window_attention as WA
+
+    kw = dict(
+        embed_dim=16, depths=(2,), num_heads=(2,), window_size=(2, 7, 7),
+        frag_biases=(True,), jump_attention=(False,),
+        use_checkpoint=False, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 4, 28, 28, 3)), jnp.float32
+    )
+    m_xla = S.SwinTransformer3D(config=S.SwinConfig(**kw), dtype=jnp.float32)
+    v = m_xla.init(jax.random.key(0), {"technical": x}, train=True)
+
+    def loss_xla(params):
+        out = m_xla.apply(
+            {"params": params}, {"technical": x}, train=True
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    vx, gx = jax.value_and_grad(loss_xla)(v["params"])
+
+    orig_tsb = WA.train_swin_block
+    orig_blk = WA.fused_swin_block
+
+    def interp_tsb(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_tsb(*args, **kwargs)
+
+    def interp_blk(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_blk(*args, **kwargs)
+
+    WA.train_swin_block = interp_tsb
+    WA.fused_swin_block = interp_blk
+    WA.ALLOW_CPU_PALLAS = True
+    try:
+        m_pal = S.SwinTransformer3D(
+            config=S.SwinConfig(use_pallas=True, **kw), dtype=jnp.float32
+        )
+
+        def loss_pal(params):
+            out = m_pal.apply(
+                {"params": params}, {"technical": x}, train=True
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        vp, gp = jax.value_and_grad(loss_pal)(v["params"])
+    finally:
+        WA.train_swin_block = orig_tsb
+        WA.fused_swin_block = orig_blk
+        WA.ALLOW_CPU_PALLAS = False
+
+    np.testing.assert_allclose(float(vp), float(vx), rtol=2e-5)
+    fx, tx = jax.tree_util.tree_flatten_with_path(gx)[0], None
+    fp = jax.tree_util.tree_flatten_with_path(gp)[0]
+    assert len(fx) == len(fp)
+    for (kx, lx), (kp, lp) in zip(fx, fp):
+        assert kx == kp
+        # near-zero leaves (e.g. LN bias grads: sums of thousands of
+        # near-cancelling terms) get an absolute floor — relative error
+        # there is fp-noise amplification, not kernel error
+        scale_ref = float(jnp.abs(lx).max())
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(lx),
+            atol=2e-5 + 1e-3 * scale_ref, rtol=5e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kx)}",
+        )

@@ -32,10 +32,16 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     remat = os.environ.get("KVQ_REMAT", "1") == "1"
+    s2d = os.environ.get("KVQ_S2D", "0") == "1"  # match the shipped config
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
+    frag = rng.normal(size=(B, T, 288, 288, 3)).astype(np.float32)
+    if s2d:
+        from kvq_tpu.data.fragments import s2d_pack
+
+        frag = np.stack([s2d_pack(f) for f in frag])
     batch = {
-        "fragment": jnp.asarray(rng.normal(size=(B, T, 288, 288, 3)), dt),
+        "fragment": jnp.asarray(frag, dt),
         "resize_video": jnp.asarray(rng.normal(size=(B, T, 112, 112, 3)), dt),
         "dis_label": jnp.asarray([i % 4 for i in range(B)], jnp.int32),
     }
@@ -43,8 +49,10 @@ def main():
         {"num_samples": 1, "sample_type": "topkpertubation",
          "CLIP_location": 8, "cls_use": True, "tuning_stage": 1,
          "a1": 1, "a2": 2, "checkpoint": remat,
-         "use_pallas": os.environ.get("KVQ_PALLAS", "1") == "1"}
+         "use_pallas": os.environ.get("KVQ_PALLAS", "1") == "1",
+         "s2d_input": s2d}
     )
+    print(f"s2d_input={s2d} remat={remat}", flush=True)
     model = KSVQE(config=cfg, dtype=dt)
     variables = jax.jit(
         lambda: model.init(
@@ -57,7 +65,8 @@ def main():
     def prefix(self, b, key, cut):
         revideo = b["resize_video"].astype(self.dtype)
         fragment = b["fragment"].astype(self.dtype)
-        Bq, Tq = fragment.shape[0], fragment.shape[1]
+        Bq = fragment.shape[0]
+        Tq = fragment.shape[1] * (2 if self.config.s2d_input else 1)
         keyframes, group_id = keyframe_schedule(Tq)
         kf = revideo[:, jnp.asarray(keyframes)].reshape(
             Bq * 4, *revideo.shape[2:]
@@ -67,15 +76,29 @@ def main():
         cls_attn = cls_attn.reshape(Bq, 4, L)
         if cut == "clip":
             return jnp.sum(cls_attn.astype(jnp.float32))
-        x_sel = self.selector(
-            fragment, cls_attn, group_id, train=True, key=key
-        )
-        if cut == "qrs":
-            return jnp.sum(x_sel.astype(jnp.float32))
-        x = self.patch_embed(x_sel)
-        if cut == "embed":
-            return jnp.sum(x.astype(jnp.float32))
-        dist_in = jax.lax.stop_gradient(x_sel)[:, ::2]
+        if self.config.s2d_input:
+            # packed path: QRS select + embed + dist unpack are one unit
+            if cut == "qrs":
+                return jnp.sum(self.selector.select(
+                    cls_attn, group_id,
+                    (fragment.shape[2] // 8, fragment.shape[3] // 8),
+                    train=True, key=key,
+                ).astype(jnp.float32))
+            x, dist_in = self._select_and_embed_packed(
+                fragment, cls_attn, group_id, train=True, key=key
+            )
+            if cut == "embed":
+                return jnp.sum(x.astype(jnp.float32))
+        else:
+            x_sel = self.selector(
+                fragment, cls_attn, group_id, train=True, key=key
+            )
+            if cut == "qrs":
+                return jnp.sum(x_sel.astype(jnp.float32))
+            x = self.patch_embed(x_sel)
+            if cut == "embed":
+                return jnp.sum(x.astype(jnp.float32))
+            dist_in = jax.lax.stop_gradient(x_sel)[:, ::2]
         dist_tok = self.distortion_tool(dist_in)
         dist_tok = 0.2 * self.dist_adapter(dist_tok) + 0.8 * dist_tok
         loss = distortion_contrastive_supervised(dist_tok, b["dis_label"])
