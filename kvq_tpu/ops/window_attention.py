@@ -736,8 +736,11 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
             pc = pl.program_id(0)
             bd = pl.program_id(1)
             dlast = jax.lax.rem(bd, Dw) == Dw - 1
+            # x-tile block index (mirrors _block_grid_plan's tile_map)
+            block_idx = bd * pl.num_programs(0) + pc
         else:
             chunk = pl.program_id(0)
+            block_idx = chunk
 
         def build_bias(slot, pat):
             """Blend rel/frag by the fragment gate and fold the h/w seam
@@ -859,9 +862,10 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                 + projb_ref[0].astype(jnp.float32)
             ).astype(xw.dtype)
             if droppath:
-                att = (att.astype(jnp.float32) * dp1_ref[g, 0]).astype(
-                    xw.dtype
-                )
+                att = (
+                    att.astype(jnp.float32)
+                    * dp1_ref[block_idx * group + g, 0]
+                ).astype(xw.dtype)
             x1 = xw + att
 
             y2 = ln(x1, n2s_ref, n2b_ref).astype(xw.dtype)
@@ -899,9 +903,10 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                 + fc2b_ref[0].astype(jnp.float32)
             ).astype(xw.dtype)
             if droppath:
-                mlp = (mlp.astype(jnp.float32) * dp2_ref[g, 0]).astype(
-                    xw.dtype
-                )
+                mlp = (
+                    mlp.astype(jnp.float32)
+                    * dp2_ref[block_idx * group + g, 0]
+                ).astype(xw.dtype)
             out_ref[g] = x1 + mlp
             return 0
 
@@ -957,7 +962,7 @@ def fused_swin_block(
     # chunks, the fast axis the B*Dw window instances of those patterns —
     # each bias-cache slab is filled once and reused across the whole
     # sweep.  'resident': 1-D window-chunk grid, all patterns cached.
-    (G, grid, tile_map, const_map, full_map, dp_map,
+    (G, grid, tile_map, const_map, full_map,
      mode2, p_eff2, pb2) = _block_grid_plan(geo, BW, x.dtype.itemsize, N, C)
     assert (mode2, p_eff2, pb2) == (mode, p_eff, pb)
 
@@ -999,7 +1004,10 @@ def fused_swin_block(
         args.append(_d_seam_mask(geo))
         in_specs.append(mat_spec(args[-1]))
     if droppath:
-        dp_spec = pl.BlockSpec((G, 1), dp_map, memory_space=pltpu.VMEM)
+        # full-array blocks (always tiling-legal); kernel indexes globally
+        dp_spec = pl.BlockSpec(
+            dp1.shape, (lambda *a: (0, 0)), memory_space=pltpu.VMEM
+        )
         args += [dp1, dp2]
         in_specs += [dp_spec, dp_spec]
     n_planes = 1 + int(geo.use_frag)
@@ -1531,10 +1539,13 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
             dlast = jax.lax.rem(bd, Dw) == Dw - 1
             first = jnp.logical_and(pc == 0, bd == 0)
             cache_first = bd == 0
+            # x-tile block index (mirrors _block_grid_plan's tile_map)
+            block_idx = bd * pl.num_programs(0) + pc
         else:
             chunk = pl.program_id(0)
             first = chunk == 0
             cache_first = chunk == 0
+            block_idx = chunk
 
         if need_cache:
             # per-head slabs: fill all heads of each pattern
@@ -1614,8 +1625,8 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
             dt = xw.dtype
             xf = xw.astype(jnp.float32)
             do = do_ref[g].astype(jnp.float32)
-            dp1 = dp1_ref[g, 0]
-            dp2 = dp2_ref[g, 0]
+            dp1 = dp1_ref[block_idx * group + g, 0]
+            dp2 = dp2_ref[block_idx * group + g, 0]
 
             # ---- forward recompute ----
             y1f, xhat1, r1 = ln_fwd(xf, n1s_ref, n1b_ref)
@@ -1724,13 +1735,18 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
 
 
 def _block_grid_plan(geo: WindowGeometry, BW: int, itemsize: int,
-                     N: int, C: int):
+                     N: int, C: int, max_pb: int | None = None):
     """Shared grid/index-map planning for the fused block kernels (eval
     fwd, train fwd, train bwd) — one source of truth so the three calls
-    cannot drift apart."""
+    cannot drift apart.  max_pb caps the bias-cache slab depth (the bwd
+    kernel shrinks it to make room for its gradient accumulators — wide
+    stages would otherwise blow the VMEM ceiling)."""
     Dw, Hw, Ww = geo.wgrid
     P = Hw * Ww
     p_eff, mode, pb = _plan_bias_cache(geo)
+    if max_pb is not None and p_eff > 1 and pb > max_pb:
+        assert P % max_pb == 0
+        mode, pb = "major", max_pb
 
     if mode == "major":
         G = pb
@@ -1744,9 +1760,6 @@ def _block_grid_plan(geo: WindowGeometry, BW: int, itemsize: int,
 
         def full_map(pc, bd):
             return (0, 0, 0)
-
-        def dp_map(pc, bd):
-            return (bd * (P // pb) + pc, 0)
     else:
         budget = 4 * 1024 * 1024
         per_window = 2 * N * C * itemsize
@@ -1766,21 +1779,15 @@ def _block_grid_plan(geo: WindowGeometry, BW: int, itemsize: int,
         def full_map(chunk):
             return (0, 0, 0)
 
-        def dp_map(chunk):
-            return (chunk, 0)
-
-    return G, grid, tile_map, const_map, full_map, dp_map, mode, p_eff, pb
+    return G, grid, tile_map, const_map, full_map, mode, p_eff, pb
 
 
-def train_block_vmem_bytes(geo: WindowGeometry, C: int, hidden: int) -> int:
-    """Rough VMEM footprint of the train-block BWD kernel (the larger of
-    the two), used by SwinBlock3D to gate the fused train path the same
-    way the eval path gates on its own estimate."""
+def _train_bwd_vmem_at(geo: WindowGeometry, C: int, hidden: int,
+                       pb: int) -> int:
     N = geo.n_tokens
     h = geo.num_heads
     use_frag = geo.use_frag
     need_cache = use_frag or bool(geo.shift[1] or geo.shift[2])
-    _, mode, pb = _plan_bias_cache(geo)
     n_planes = 1 + int(use_frag)
     est = 0
     if need_cache:
@@ -1798,6 +1805,31 @@ def train_block_vmem_bytes(geo: WindowGeometry, C: int, hidden: int) -> int:
     return est
 
 
+def _train_bwd_pb(geo: WindowGeometry, C: int, hidden: int):
+    """Bias-cache slab depth for the train BWD kernel: start from the
+    shared plan and halve until the gradient accumulators + cache fit the
+    80 MB gate (the bwd carries ~wbytes*6 + 2x bias-plane IO the eval
+    kernel doesn't)."""
+    Dw, Hw, Ww = geo.wgrid
+    P = Hw * Ww
+    p_eff, _, pb = _plan_bias_cache(geo)
+    if p_eff <= 1:
+        return None, _train_bwd_vmem_at(geo, C, hidden, 0)
+    while pb > 1 and _train_bwd_vmem_at(
+        geo, C, hidden, pb
+    ) > 80 * 1024 * 1024 and P % (pb // 2) == 0:
+        pb //= 2
+    return pb, _train_bwd_vmem_at(geo, C, hidden, pb)
+
+
+def train_block_vmem_bytes(geo: WindowGeometry, C: int, hidden: int) -> int:
+    """VMEM footprint of the train-block BWD kernel (the larger of the
+    two) at the slab depth it will actually use — SwinBlock3D gates the
+    fused train path on this the same way the eval path gates on its own
+    estimate."""
+    return _train_bwd_pb(geo, C, hidden)[1]
+
+
 def _block_train_bwd_impl(geo, scale, interpret, x, params, rel, frag,
                           dp1, dp2, dout):
     BW, N, C = x.shape
@@ -1812,14 +1844,19 @@ def _block_train_bwd_impl(geo, scale, interpret, x, params, rel, frag,
         # therefore every gradient, drel included — is unchanged)
         rel_in = rel - jnp.max(rel, axis=-1, keepdims=True)
 
-    (G, grid, tile_map, const_map, full_map, dp_map,
-     mode, p_eff, pb) = _block_grid_plan(geo, BW, x.dtype.itemsize, N, C)
+    max_pb, _est = _train_bwd_pb(geo, C, hidden)
+    (G, grid, tile_map, const_map, full_map,
+     mode, p_eff, pb) = _block_grid_plan(
+        geo, BW, x.dtype.itemsize, N, C, max_pb=max_pb
+    )
 
     def vec(p):
         return p.reshape(1, -1)
 
     spec_x = pl.BlockSpec((G, N, C), tile_map, memory_space=pltpu.VMEM)
-    dp_spec = pl.BlockSpec((G, 1), dp_map, memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec(
+        dp1.shape, (lambda *a: (0, 0)), memory_space=pltpu.VMEM
+    )
 
     def mat_spec(a):
         return pl.BlockSpec(a.shape, const_map, memory_space=pltpu.VMEM)

@@ -234,3 +234,77 @@ def test_swin_train_pallas_grads_match_xla_path():
             atol=2e-5 + 1e-3 * scale_ref, rtol=5e-3,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(kx)}",
         )
+
+
+def test_train_block_bwd_major_mode_matches_golden(monkeypatch):
+    """Force the bwd kernel's pattern-major 2-D grid (the plan real eval
+    shapes use, and what the pb-shrink fallback produces for wide stages):
+    weight-gradient accumulators must survive the slow-axis pattern sweep
+    and bias-cache refills."""
+    import kvq_tpu.ops.window_attention as WA
+
+    monkeypatch.setattr(
+        WA, "_train_bwd_pb",
+        lambda geo, C, hidden: (1, 0),
+    )
+
+    dims, window, shift = (4, 14, 14), (2, 7, 7), (1, 3, 3)
+    B, h, hd = 2, 2, 8
+    C, hidden = h * hd, 4 * h * hd
+    N = 98
+    nW = 8
+    BW = B * nW
+    rng = np.random.default_rng(11)
+    params = {
+        k: jnp.asarray(rng.normal(size=s, scale=0.3), jnp.float32)
+        for k, s in [
+            ("qkv_w", (C, 3 * C)), ("proj_w", (C, C)),
+            ("fc1_w", (C, hidden)), ("fc2_w", (hidden, C)),
+        ]
+    }
+    for k, s in [("norm1_scale", (C,)), ("norm2_scale", (C,))]:
+        params[k] = jnp.asarray(1 + 0.1 * rng.normal(size=s), jnp.float32)
+    for k, s in [("norm1_bias", (C,)), ("norm2_bias", (C,)),
+                 ("qkv_b", (3 * C,)), ("proj_b", (C,)),
+                 ("fc1_b", (hidden,)), ("fc2_b", (C,))]:
+        params[k] = jnp.asarray(0.1 * rng.normal(size=s), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(BW, N, C)), jnp.float32)
+    rel = jnp.asarray(rng.normal(size=(h, N, N), scale=0.5), jnp.float32)
+    frag = jnp.asarray(rng.normal(size=(h, N, N), scale=0.5), jnp.float32)
+    dp1 = dp2 = jnp.ones((BW, 1), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(BW, N, C)), jnp.float32)
+
+    geo = WindowGeometry(
+        batch=B, dims=dims, window=window, shift=shift,
+        fragments=(1, 7, 7), num_heads=h, head_dim=hd, use_frag=True,
+    )
+    gate = jnp.asarray(S.fragment_gate(dims, (1, 7, 7), window, shift))
+    mask = jnp.asarray(S.compute_shift_mask(dims, window, shift))
+
+    def loss_kernel(x, params, rel, frag):
+        out = train_swin_block(
+            x, params, rel, frag, geo, dp1, dp2,
+            scale=hd ** -0.5, interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    def loss_golden(x, params, rel, frag):
+        out = _golden_block(
+            x, params, rel, frag, gate, mask, dp1, dp2, h, hd ** -0.5
+        )
+        return jnp.sum(out * cot)
+
+    vk, gk = jax.value_and_grad(loss_kernel, argnums=(0, 1, 2, 3))(
+        x, params, rel, frag
+    )
+    vg, gg = jax.value_and_grad(loss_golden, argnums=(0, 1, 2, 3))(
+        x, params, rel, frag
+    )
+    np.testing.assert_allclose(float(vk), float(vg), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gg)):
+        scale_ref = float(jnp.abs(b).max())
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=2e-5 + 5e-4 * scale_ref, rtol=2e-3,
+        )
