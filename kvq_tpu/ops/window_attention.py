@@ -467,6 +467,11 @@ def flash_attention_nobias(q, k, v, scale=None, interpret=False,
             bytes_accessed=(2 * N + 2 * M) * X * h * hd * q.dtype.itemsize,
             transcendentals=X * h * N * M * pack,
         ),
+        # same scoped-vmem headroom as the channel-layout variant (the
+        # default 32 MB ceiling trips on long-sequence tiles at eval B>=8)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(q, k, v)
 
@@ -582,6 +587,12 @@ def flash_attention_nobias_cl(q, k, v, num_heads: int, scale=None,
             flops=2 * 2 * X * N * M * C * pack,
             bytes_accessed=(2 * N + 2 * M) * X * C * q.dtype.itemsize,
             transcendentals=X * num_heads * N * M * pack,
+        ),
+        # the default 32 MB scoped-vmem ceiling trips at eval B>=8 (the
+        # double-buffered (G, N, C) tiles of the long-sequence semantic
+        # cross stage); v5e has 128 MB per core — match the block kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(q, k, v)
