@@ -118,6 +118,12 @@ def main():
         }
         if ep % 4 == 3 or ep == epochs - 1:
             m = tr.evaluate()
+            # NaN here means the model converged to the constant (mean)
+            # predictor on the random synthetic labels — core.metrics
+            # rescale() z-scores predictions (reference trainer.py:356-361
+            # parity), which is 0/0 at zero variance.  Expected for a
+            # label-free smoke; loss descent + step-time stability are the
+            # signals that matter.
             rec["srcc"] = float(m.srcc)
             rec["plcc"] = float(m.plcc)
         losses.append(rec["loss"])
