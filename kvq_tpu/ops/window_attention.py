@@ -853,9 +853,14 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                     # the AV matmul as ``v.dtype`` anyway
                     p = jnp.exp((s - m).astype(xw.dtype))
                 # deferred normalization: divide the (N, hd) p@v result
-                # instead of the (N, N) probabilities
-                r = 1.0 / jnp.sum(p.astype(jnp.float32), axis=-1,
-                                  keepdims=True)
+                # instead of the (N, N) probabilities.  The 1e-37 floor
+                # guards the fold path against a whole row underflowing
+                # (all args < -87 flush to 0 on TPU -> inf -> NaN); free
+                # on the (N, 1) sums, inert whenever any arg > -69
+                r = 1.0 / jnp.maximum(
+                    jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                    1e-37,
+                )
                 outs.append(
                     (jax.lax.dot_general(
                         p, v,
@@ -1661,7 +1666,10 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                 if d_seam:
                     s = s + dmul * maskd_ref[...]
                 p = jnp.exp(jnp.minimum(s, 60.0))
-                rinv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                # same all-underflow guard as the fwd kernel's fold path
+                rinv = 1.0 / jnp.maximum(
+                    jnp.sum(p, axis=-1, keepdims=True), 1e-37
+                )
                 pn = p * rinv  # normalized probabilities, f32
                 pnd = pn.astype(dt)
                 o_h = mm(pnd, v, ((1,), (0,)))  # (N, hd) f32

@@ -308,3 +308,56 @@ def test_train_block_bwd_major_mode_matches_golden(monkeypatch):
             np.asarray(a), np.asarray(b),
             atol=2e-5 + 5e-4 * scale_ref, rtol=2e-3,
         )
+
+
+def test_fold_softmax_extreme_logits_no_nan():
+    """The fold path drops the per-row max subtraction; if every score in
+    a row sits below exp's f32 underflow (~-87) the probability sum
+    flushes to 0 — the 1e-37 floor must keep outputs finite (the classic
+    row-max scheme can't hit this; the fold scheme can on adversarially
+    trained weights)."""
+    from kvq_tpu.ops.window_attention import fused_swin_block
+
+    dims, window, shift = (4, 14, 14), (2, 7, 7), (0, 0, 0)
+    B, h, hd = 1, 2, 8
+    C, hidden = h * hd, 2 * h * hd
+    N, nW = 98, 8
+    BW = B * nW
+    rng = np.random.default_rng(5)
+    # zero qkv weights + constant q/k biases make every score EXACTLY
+    # q.k*scale = -200: after bias folding each row's max exp argument is
+    # <= -200, far below f32 underflow, so the whole sum flushes to 0
+    scale = hd ** -0.5
+    qkv_b = np.zeros((3 * C,), np.float32)
+    qkv_b[:C] = 1.0                       # q lanes
+    qkv_b[C: 2 * C] = -200.0 / (hd * scale)  # k lanes
+    params = {
+        "norm1_scale": jnp.ones((C,), jnp.float32),
+        "norm1_bias": jnp.zeros((C,), jnp.float32),
+        "qkv_w": jnp.zeros((C, 3 * C), jnp.float32),
+        "qkv_b": jnp.asarray(qkv_b),
+        "proj_w": jnp.asarray(rng.normal(size=(C, C), scale=0.1),
+                              jnp.float32),
+        "proj_b": jnp.zeros((C,), jnp.float32),
+        "norm2_scale": jnp.ones((C,), jnp.float32),
+        "norm2_bias": jnp.zeros((C,), jnp.float32),
+        "fc1_w": jnp.asarray(rng.normal(size=(C, hidden), scale=0.1),
+                             jnp.float32),
+        "fc1_b": jnp.zeros((hidden,), jnp.float32),
+        "fc2_w": jnp.asarray(rng.normal(size=(hidden, C), scale=0.1),
+                             jnp.float32),
+        "fc2_b": jnp.zeros((C,), jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(BW, N, C)), jnp.float32)
+    # bias rows spanning hundreds of logits: after rowmax folding the
+    # fold path's exp arguments go far below the f32 underflow line
+    rel = jnp.asarray(-400.0 * rng.random(size=(h, N, N)), jnp.float32)
+
+    geo = WindowGeometry(
+        batch=B, dims=dims, window=window, shift=shift,
+        fragments=(1, 7, 7), num_heads=h, head_dim=hd, use_frag=False,
+    )
+    out = fused_swin_block(
+        x, params, rel, None, geo, scale=hd ** -0.5, interpret=True,
+    )
+    assert bool(jnp.all(jnp.isfinite(out))), "NaN/inf leaked from fold path"
