@@ -45,7 +45,16 @@ def main():
     window = (8, 7, 7)
     N = window[0] * window[1] * window[2]
 
+    # optional filters: argv[2] = comma-separated channel widths to time
+    # (e.g. "96,192"), argv[3] = ablation-label substring (e.g. "frag+shift")
+    only_c = None
+    if len(sys.argv) > 2:
+        only_c = {int(c) for c in sys.argv[2].split(",")}
+    only_label = sys.argv[3] if len(sys.argv) > 3 else None
+
     for C, h, dims in stages:
+        if only_c is not None and C not in only_c:
+            continue
         D, H, W = dims
         wd = (min(window[0], D), min(window[1], H), min(window[2], W))
         Nw = wd[0] * wd[1] * wd[2]
@@ -82,6 +91,8 @@ def main():
             ("shift     ", False, (4, 3, 3)),
             ("plain     ", False, (0, 0, 0)),
         ]:
+            if only_label and only_label not in label.strip():
+                continue
             geo = WindowGeometry(
                 batch=B, dims=dims, window=wd,
                 shift=shift if D > wd[0] or shift == (0, 0, 0) else (0, 3, 3),
