@@ -36,6 +36,16 @@ def _pallas_backend_ok() -> bool:
 
 
 class CrossAttention(nn.Module):
+    """crossattention1 parity (reference KSVQE_model.py:1553-1591).
+
+    Returns ``(out, attn_map)`` where ``attn_map`` is the head-averaged
+    (B, Nq, Nk) attention — EXCEPT on the ``use_pallas`` eval path, which
+    returns ``(out, None)``: the flash kernel never materializes the
+    probability plane, so there is nothing to average.  Callers that need
+    the map must take the XLA path (``use_pallas=False`` or
+    ``train=True``); in-repo callers discard it.
+    """
+
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     # eval-only Pallas flash path (scores never leave VMEM) — fixes the

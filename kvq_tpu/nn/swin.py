@@ -537,9 +537,16 @@ class SwinBlock3D(nn.Module):
         if can_fuse and train and self.attn_drop == 0.0 and self.drop == 0.0:
             from ..ops.window_attention import train_block_vmem_bytes
 
-            if train_block_vmem_bytes(
-                probe, C, int(C * self.mlp_ratio)
-            ) <= 80 * 1024 * 1024:
+            # The train forward runs fused_swin_block at the full eval-plan
+            # slab depth, so BOTH estimates must fit: the fwd kernel's
+            # (vmem_est, same bound as the eval gate) and the bwd kernel's
+            # (which shrinks its bias-slab depth independently).
+            if (
+                vmem_est <= 80 * 1024 * 1024
+                and train_block_vmem_bytes(
+                    probe, C, int(C * self.mlp_ratio)
+                ) <= 80 * 1024 * 1024
+            ):
                 return self._fused_block(x, window, shift, train=True)
 
         if not self.jump_attention:

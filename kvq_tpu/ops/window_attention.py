@@ -523,9 +523,12 @@ def _make_nobias_cl_kernel(n: int, m: int, heads: int, hd: int, pack: int,
                 if pack > 1:
                     s = jnp.where(blockmask, s, -1e30)
                 mx = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp((s - mx).astype(q_ref.dtype))
-                r = 1.0 / jnp.sum(p.astype(jnp.float32), axis=-1,
-                                  keepdims=True)
+                # exp and the row sum stay in f32 (bf16 softmax arguments
+                # would put ~0.4% noise on the DOMINANT logits); only the
+                # probabilities fed to the MXU are cast down.
+                pf = jnp.exp(s - mx)
+                r = 1.0 / jnp.sum(pf, axis=-1, keepdims=True)
+                p = pf.astype(q_ref.dtype)
                 outs.append(
                     (jax.lax.dot_general(
                         p, v,
@@ -1748,7 +1751,7 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                     pn = p * rinv  # normalized probabilities, f32
                     pnd = pn.astype(dt)
                     o_h = mm(pnd, v, ((1,), (0,)))  # (N, hd) f32
-                    heads.append((qs, k, v, pn, pnd, None, o_h))
+                    heads.append((qs, k, v, pn, pnd, rinv, o_h))
 
             att_cat = jnp.concatenate(
                 [o.astype(dt) for *_x, o in heads], axis=-1
@@ -1808,6 +1811,18 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                 dvs.append(mm(pnd, dao_d, ((0,), (0,))).astype(dt))
                 dpn = mm(dao_d, v, ((1,), (1,)))  # (N, N) f32
                 ds = pn * (dpn - dsum)
+                # The recompute clamps exp's argument at _FOLD_CLAMP;
+                # d/ds exp(min(s, C)) is 0 where s >= C, so zero ds there
+                # (clamped entries are detectable as p == exp(C): the
+                # clamp and this threshold run the identical _pexp, so the
+                # comparison is exact).  Engages only on pathological
+                # logit scales; keeps saturated-logit gradients from
+                # silently corrupting training.
+                clamp_p = _pexp(jnp.float32(_FOLD_CLAMP))
+                if BWD_PNFOLD:
+                    ds = jnp.where(pn < clamp_p, ds, 0.0)  # pn holds raw p
+                else:
+                    ds = jnp.where(pn < clamp_p * rinv, ds, 0.0)
                 if use_frag:
                     gate = gcache_ref[slot]
                     drel_ref[hh] += ds * gate
@@ -2150,6 +2165,9 @@ def train_swin_block(x, params, rel_bias, frag_bias, geo: WindowGeometry,
         scale = geo.head_dim ** -0.5
     assert (frag_bias is not None) == geo.use_frag
     assert dp1 is not None and dp2 is not None
+    # Honor the module-level CPU-interpreter override (tests flip it to
+    # run the Mosaic kernels off-TPU), same as window_attention_train.
+    interpret = interpret or TRAIN_INTERPRET
     if geo.use_frag:
         return _tsb_frag(
             geo, float(scale), interpret, x, params, rel_bias, frag_bias,

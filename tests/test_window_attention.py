@@ -410,6 +410,18 @@ def test_flash_nobias_matches_xla():
             np.asarray(out_cl), ref_cl, atol=2e-4, rtol=1e-3,
             err_msg=f"cl shape {(X, h, N, M, hd)}",
         )
+        # production dtype: bf16 inputs, softmax still in f32 inside the
+        # kernel — output must stay within bf16-matmul noise of the f32
+        # reference (KSVQE runs compute_dtype=bfloat16)
+        out_bf = flash_attention_nobias_cl(
+            qc.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
+            vc.astype(jnp.bfloat16), num_heads=h, scale=scale,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_bf, np.float32), ref_cl, atol=4e-2, rtol=2e-2,
+            err_msg=f"cl bf16 shape {(X, h, N, M, hd)}",
+        )
 
 
 def test_cdm_pallas_modules_match_xla():
