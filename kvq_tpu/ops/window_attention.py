@@ -243,6 +243,7 @@ def flash_window_attention(
     Grid is (heads, window-chunks) with chunks fastest, so the per-head bias
     planes stay VMEM-resident across a whole sweep of windows.
     """
+    interpret = interpret or EVAL_INTERPRET
     BW, h, N, hd = q.shape
     assert N == geo.n_tokens, (N, geo.n_tokens)
     if scale is None:
@@ -294,6 +295,7 @@ def flash_window_attention_packed(
     qkv projection by a single transpose (vs three slice+transpose chains
     for separate q/k/v) — q/k/v and the head are selected by BlockSpec
     index maps.  Returns (B*nW, h, N, hd)."""
+    interpret = interpret or EVAL_INTERPRET
     BW, th, N, hd = qkv.shape
     h = num_heads
     assert th == 3 * h
@@ -438,6 +440,7 @@ def flash_attention_nobias(q, k, v, scale=None, interpret=False,
     fp32-accumulation order).  Forward-only — used by the CDM modules on
     the no-grad eval path (nn/cdm.py); training keeps the XLA form.
     """
+    interpret = interpret or EVAL_INTERPRET
     X, h, N, hd = q.shape
     M = k.shape[2]
     assert k.shape == (X, h, M, hd) and v.shape == k.shape, (
@@ -557,6 +560,7 @@ def flash_attention_nobias_cl(q, k, v, num_heads: int, scale=None,
     transposes in HBM.  Forward-only.
     """
     X, N, C = q.shape
+    interpret = interpret or EVAL_INTERPRET
     M = k.shape[1]
     assert k.shape == (X, M, C) and v.shape == k.shape, (
         q.shape, k.shape, v.shape
@@ -1005,6 +1009,7 @@ def fused_swin_block(
     estimate of planes + weights + tiles <= 80 MB against the kernel's
     100 MB compiler ceiling); all four Swin-T stages, 3-24 heads, with or
     without fragment bias, take this path at KSVQE eval shapes."""
+    interpret = interpret or EVAL_INTERPRET
     BW, N, C = x.shape
     h, hd = geo.num_heads, geo.head_dim
     assert h * hd == C and N == geo.n_tokens
@@ -1165,6 +1170,18 @@ def _d_seam_mask(geo: WindowGeometry):
 # Tests force the CPU interpreter through this flag (plus monkeypatching
 # is not needed: the flag is read at trace time).
 TRAIN_INTERPRET = False
+
+# Same, for the forward-only EVAL kernels (fused block, flash window
+# attention, no-bias CDM flash): every entry reads
+# ``interpret or EVAL_INTERPRET`` at trace time, so CPU-mesh tests can
+# exercise the production shard_map + pallas_call composition
+# (config/Kwai_KSVQE.yml ships use_pallas: true) without a TPU.
+EVAL_INTERPRET = False
+
+# Model modules route to these kernels only when the backend is TPU or
+# this is set (nn/swin._pallas_backend_ok, nn/cdm) — CPU runs then MUST
+# also set the *_INTERPRET flags above, or Mosaic lowering fails.
+ALLOW_CPU_PALLAS = False
 
 
 def _train_specs(geo: WindowGeometry, G: int, hd: int):
