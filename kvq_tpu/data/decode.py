@@ -37,22 +37,60 @@ class SyntheticVideoSource:
 
     Frames are generated from a per-(video, frame) hash so any frame is
     randomly accessible without state.
+
+    Two modes:
+      - ``noise_amp=None`` (default): i.i.d. uniform uint8 frames — a
+        featureless load generator for pipeline/shape tests.
+      - ``noise_amp`` in [0, 1]: a *learnable* video — a smooth sinusoidal
+        base pattern corrupted by Gaussian noise of amplitude
+        ``noise_amp``.  Noise level is a statistic a VQA model can
+        regress from any spatial crop (it survives fragment sampling
+        unchanged), so datasets built on this mode have labels that are
+        actually learnable — used by the train-smoke learning check
+        (tools/train_smoke.py) to prove descent + rising SRCC, not just
+        "the trainer runs".
     """
 
-    def __init__(self, n_frames: int, height: int, width: int, seed: int = 0):
+    def __init__(self, n_frames: int, height: int, width: int, seed: int = 0,
+                 noise_amp: float | None = None):
         self._n = n_frames
         self._h = height
         self._w = width
         self._seed = seed
+        self._noise_amp = noise_amp
+        if noise_amp is not None:
+            # per-video smooth-pattern parameters (deterministic in seed)
+            prng = np.random.default_rng((seed, 0xBA5E))
+            self._fx = prng.uniform(1.0, 3.0, size=3)
+            self._fy = prng.uniform(1.0, 3.0, size=3)
+            self._ph = prng.uniform(0, 2 * np.pi, size=3)
 
     def num_frames(self) -> int:
         return self._n
+
+    def _base_frame(self, idx: int) -> np.ndarray:
+        """Smooth (H, W, 3) float pattern, drifting slowly over time."""
+        y = np.linspace(0, 1, self._h, dtype=np.float32)[:, None, None]
+        x = np.linspace(0, 1, self._w, dtype=np.float32)[None, :, None]
+        arg = 2 * np.pi * (self._fx * x + self._fy * y) + self._ph
+        return 127.5 + 90.0 * np.sin(arg + 0.2 * idx).astype(np.float32)
 
     def get_frames(self, indices: np.ndarray) -> np.ndarray:
         out = np.empty((len(indices), self._h, self._w, 3), dtype=np.uint8)
         for k, idx in enumerate(np.asarray(indices)):
             rng = np.random.default_rng((self._seed, int(idx)))
-            out[k] = rng.integers(0, 256, size=(self._h, self._w, 3), dtype=np.uint8)
+            if self._noise_amp is None:
+                out[k] = rng.integers(
+                    0, 256, size=(self._h, self._w, 3), dtype=np.uint8
+                )
+            else:
+                noise = rng.normal(
+                    scale=self._noise_amp * 55.0,
+                    size=(self._h, self._w, 3),
+                ).astype(np.float32)
+                out[k] = np.clip(
+                    self._base_frame(int(idx)) + noise, 0, 255
+                ).astype(np.uint8)
         return out
 
 

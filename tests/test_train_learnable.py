@@ -1,0 +1,93 @@
+"""The trainer LEARNS, not merely runs (VERDICT r3 item 7, CPU-scale).
+
+Videos are smooth patterns + per-video Gaussian noise whose amplitude
+determines the label (data/datasets.py:make_learnable_synthetic_opt);
+the val split holds out different videos with different amplitudes.  A
+tiny SimpleVQA (whose ResNet std-pooling directly measures local
+variance = the label statistic) must descend in loss AND reach
+post-rescale SRCC > 0.5 on the held-out split — the same criteria the
+full-scale on-chip run asserts (tools/train_smoke.py).
+
+Reference loop being proven: trainer.py:129-230.
+"""
+
+import numpy as np
+import pytest
+
+from kvq_tpu.data.datasets import make_learnable_synthetic_opt
+from kvq_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.slow  # trains for real: minutes on small hosts
+
+SAMPLE_TYPES = {
+    "simpleVQA": dict(
+        resize=48, crop=32, clip_len=4, frame_interval=2, t_frag=4,
+        num_clips=1,
+    )
+}
+
+
+def test_trainer_learns_noise_statistic(tmp_path):
+    import jax
+
+    from kvq_tpu.train.trainer import array_batch
+
+    train_opt = make_learnable_synthetic_opt(
+        n_videos=12, n_frames=40, height=72, width=96,
+        sample_types=SAMPLE_TYPES, phase="train", with_features=True,
+    )
+    val_opt = make_learnable_synthetic_opt(
+        n_videos=8, n_frames=40, height=72, width=96,
+        sample_types=SAMPLE_TYPES, phase="test", with_features=True,
+    )
+    cfg = {
+        "name": "learnable",
+        "num_epochs": 10,
+        "l_num_epochs": 0,
+        "warmup_epochs": 1,
+        "ema": False,
+        "save_model": False,
+        "batch_size": 4,
+        "num_workers": 0,
+        "seed": 0,
+        "load_path": None,
+        "data": {
+            "train": {"type": "SimpleVQADataset", "args": train_opt},
+            "val": {"type": "SimpleVQADataset", "args": val_opt},
+        },
+        "model": {
+            "type": "simpleVQA",
+            "compute_dtype": "float32",
+            "args": {
+                "simpleVQA": {
+                    "backbone": {"layers": [1, 1, 1, 1]},
+                    "head": {"hidden_channels": 32},
+                }
+            },
+        },
+        "optimizer": {"lr": 3e-4, "backbone_lr_mult": 1.0, "wd": 0.01},
+    }
+    tr = Trainer(cfg, workdir=str(tmp_path))
+    tr.build_datasets()
+    sample = next(tr.train_loader.epoch(0))
+    tr.build_models(sample, seed=0)
+
+    epoch_losses = []
+    for ep in range(cfg["num_epochs"]):
+        losses = []
+        for batch in tr.train_loader.epoch(ep):
+            tr.state, aux = tr._train_step(
+                tr.state, array_batch(batch), jax.random.key(ep)
+            )
+            losses.append(float(aux["total_loss"]))
+        epoch_losses.append(float(np.mean(losses)))
+
+    assert all(np.isfinite(l) for l in epoch_losses)
+    assert epoch_losses[-1] < epoch_losses[0], epoch_losses
+
+    m = tr.evaluate()
+    assert np.isfinite(m.srcc), "held-out predictions have zero variance"
+    assert m.srcc > 0.5, (
+        f"held-out SRCC {m.srcc:.3f} <= 0.5 — the trainer did not learn "
+        f"the noise->score statistic (losses {epoch_losses})"
+    )

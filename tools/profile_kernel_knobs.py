@@ -1,0 +1,175 @@
+"""Adjudicate the experimental kernel knobs on TPU (VERDICT r3 item 4).
+
+A/B-times each env-gated knob at the dominant KSVQE geometries:
+
+  - KVQ_EXP2 (SOFTMAX_EXP2): base-2 softmax with the log2(e) prescale
+    folded into q-scale/bias slabs — eval block kernel AND train
+    fwd+bwd.
+  - KVQ_MXU_SUM (MXU_ROWSUM): probability row sums via a ones-column on
+    the p@v matmul — eval block kernel.
+  - KVQ_BWD_PNFOLD (BWD_PNFOLD): bwd normalization folded onto the
+    (N, hd) dout tile instead of materializing pn — train bwd.
+
+Gradient/value exactness of every knob is pinned by
+tests/test_kernel_knobs.py; this tool measures whether any of them is
+actually faster.  Winners become defaults; losers get recorded as dead
+ends in docs/PERF.md and deleted.
+
+Eval rows time fused_swin_block at eval shapes (B x T=96); train rows
+time value_and_grad of train_swin_block at train shapes (B=4 x T=32).
+Knobs are flipped by reassigning the module globals the kernels read at
+trace time (exactly what tests/test_kernel_knobs.py does) — each timing
+uses a fresh jit so nothing is cached across variants.
+
+Usage: python tools/profile_kernel_knobs.py [B_eval]
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from tools.profile_ksvqe import timed_loop  # noqa: E402
+
+
+def set_knob(WA, jnp, knob, on):
+    if knob == "exp2":
+        WA.SOFTMAX_EXP2 = on
+        WA._pexp = jnp.exp2 if on else jnp.exp
+        WA._FOLD_CLAMP = 86.0 if on else 60.0
+    elif knob == "mxu_rowsum":
+        WA.MXU_ROWSUM = on
+    elif knob == "pnfold":
+        WA.BWD_PNFOLD = on
+    else:
+        raise ValueError(knob)
+
+
+def stage_inputs(C, h, dims, B, jnp, dt):
+    rng = np.random.default_rng(0)
+    window = (8, 7, 7)
+    D, H, W = dims
+    wd = (min(window[0], D), min(window[1], H), min(window[2], W))
+    Nw = wd[0] * wd[1] * wd[2]
+    nW = (D // wd[0]) * (H // wd[1]) * (W // wd[2])
+    BW = B * nW
+    hidden = 4 * C
+    params = {
+        "norm1_scale": jnp.ones((C,), jnp.float32),
+        "norm1_bias": jnp.zeros((C,), jnp.float32),
+        "qkv_w": jnp.asarray(rng.normal(size=(C, 3 * C), scale=0.02), dt),
+        "qkv_b": jnp.zeros((3 * C,), jnp.float32),
+        "proj_w": jnp.asarray(rng.normal(size=(C, C), scale=0.02), dt),
+        "proj_b": jnp.zeros((C,), jnp.float32),
+        "norm2_scale": jnp.ones((C,), jnp.float32),
+        "norm2_bias": jnp.zeros((C,), jnp.float32),
+        "fc1_w": jnp.asarray(rng.normal(size=(C, hidden), scale=0.02), dt),
+        "fc1_b": jnp.zeros((hidden,), jnp.float32),
+        "fc2_w": jnp.asarray(rng.normal(size=(hidden, C), scale=0.02), dt),
+        "fc2_b": jnp.zeros((C,), jnp.float32),
+    }
+    rel = jnp.asarray(rng.normal(size=(h, Nw, Nw)), jnp.float32)
+    frag = jnp.asarray(rng.normal(size=(h, Nw, Nw)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(BW, Nw, C)), dt)
+    return params, rel, frag, x, wd, BW, Nw
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kvq_tpu.ops import window_attention as WA
+    from kvq_tpu.ops.window_attention import (
+        WindowGeometry,
+        fused_swin_block,
+        train_swin_block,
+    )
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kvq_jax_cache")
+    B_eval = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    dt = jnp.bfloat16
+
+    eval_stages = [  # (C, heads, dims) at T=96 eval shapes
+        (96, 3, (48, 56, 56)),
+        (192, 6, (48, 28, 28)),
+        (384, 12, (48, 14, 14)),
+        (768, 24, (48, 7, 7)),
+    ]
+    train_stages = [  # stages 0-2 take the fused train kernel, B=4 T=32
+        (96, 3, (16, 56, 56)),
+        (192, 6, (16, 28, 28)),
+        (384, 12, (16, 14, 14)),
+    ]
+
+    print("== EVAL fused_swin_block (frag+shift) ==", flush=True)
+    for knob in ("exp2", "mxu_rowsum"):
+        for C, h, dims in eval_stages:
+            params, rel, frag, x, wd, BW, Nw = stage_inputs(
+                C, h, dims, B_eval, jnp, dt
+            )
+            geo = WindowGeometry(
+                batch=B_eval, dims=dims, window=wd,
+                shift=(4, 3, 3), fragments=(1, 8, 8),
+                num_heads=h, head_dim=C // h, use_frag=True,
+            )
+            times = {}
+            for on in (False, True):
+                set_knob(WA, jnp, knob, on)
+
+                def fn(vs, xx, g=geo, p=params, r=rel, f=frag):
+                    return fused_swin_block(
+                        xx, p, r, f, g, scale=(C // h) ** -0.5
+                    )
+
+                times[on] = timed_loop(fn, {}, x)
+            set_knob(WA, jnp, knob, False)
+            d = (times[False] - times[True]) / times[False] * 100
+            print(
+                f"eval  {knob:10s} C={C:4d}: off {times[False]*1e3:7.2f} ms"
+                f"  on {times[True]*1e3:7.2f} ms  ({d:+5.1f}%)",
+                flush=True,
+            )
+
+    print("== TRAIN train_swin_block fwd+bwd (frag+shift) ==", flush=True)
+    for knob in ("exp2", "pnfold"):
+        for C, h, dims in train_stages:
+            params, rel, frag, x, wd, BW, Nw = stage_inputs(
+                C, h, dims, 4, jnp, dt
+            )
+            geo = WindowGeometry(
+                batch=4, dims=dims, window=wd,
+                shift=(4, 3, 3), fragments=(1, 8, 8),
+                num_heads=h, head_dim=C // h, use_frag=True,
+            )
+            dp1 = jnp.ones((x.shape[0], 1), jnp.float32)
+            dp2 = jnp.ones((x.shape[0], 1), jnp.float32)
+            times = {}
+            for on in (False, True):
+                set_knob(WA, jnp, knob, on)
+
+                def loss(inp, g=geo):
+                    xx, p, r, f = inp
+                    out = train_swin_block(
+                        xx, p, r, f, g, dp1, dp2, scale=(C // h) ** -0.5
+                    )
+                    return jnp.sum(out.astype(jnp.float32))
+
+                vag = jax.value_and_grad(loss)
+
+                def fn(vs, inp):
+                    v, g = vag(inp)
+                    return (v, g)
+
+                times[on] = timed_loop(fn, {}, (x, params, rel, frag))
+            set_knob(WA, jnp, knob, False)
+            d = (times[False] - times[True]) / times[False] * 100
+            print(
+                f"train {knob:10s} C={C:4d}: off {times[False]*1e3:7.2f} ms"
+                f"  on {times[True]*1e3:7.2f} ms  ({d:+5.1f}%)",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
