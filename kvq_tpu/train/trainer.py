@@ -187,9 +187,14 @@ class Trainer:
 
     # ----------------------------------------------------------------- model
     def build_models(self, sample_batch: dict, seed: int = 0) -> None:
-        variables = self.model.init(
-            jax.random.key(seed), array_batch(sample_batch), train=False
-        )
+        # Jitted init with the batch as an ARGUMENT: eager init dispatches
+        # every op individually (measured ~600s through the remote-execution
+        # tunnel, tools/bench_e2e.py r4), and a closed-over batch would be
+        # embedded as an HLO constant re-uploaded with the program
+        # (bench.py module docstring).  Jitted-as-argument: one compile.
+        variables = jax.jit(
+            lambda b: self.model.init(jax.random.key(seed), b, train=False)
+        )(array_batch(sample_batch))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 

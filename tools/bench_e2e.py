@@ -73,6 +73,11 @@ def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
         "a2": 2,
         "checkpoint": False,
         "use_pallas": not tiny,
+        # shipped-config default (config/Kwai_KSVQE.yml): host-packed
+        # space-to-depth fragments.  Also avoids a pathological XLA
+        # compile of the unpacked patch-embed relayout program (measured
+        # 405s vs ~40s for the s2d program at the same B=1 shapes, r4).
+        "s2d_input": not tiny,
     }
     if tiny:
         backbone.update(
