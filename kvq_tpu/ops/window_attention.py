@@ -1835,7 +1835,15 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                 # comparison is exact).  Engages only on pathological
                 # logit scales; keeps saturated-logit gradients from
                 # silently corrupting training.
-                clamp_p = _pexp(jnp.float32(_FOLD_CLAMP))
+                # (exp2 of a CONSTANT trips a Mosaic lowering bug —
+                # jaxlib's math.exp2 builder rejects concrete operands —
+                # so the exp2-base threshold is the trace-time python
+                # constant 2**86, which is a power of two and therefore
+                # exactly equal to the kernel's exp2(86.0f))
+                clamp_p = (
+                    jnp.float32(2.0 ** _FOLD_CLAMP) if SOFTMAX_EXP2
+                    else _pexp(jnp.float32(_FOLD_CLAMP))
+                )
                 if BWD_PNFOLD:
                     ds = jnp.where(pn < clamp_p, ds, 0.0)  # pn holds raw p
                 else:

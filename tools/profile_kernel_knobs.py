@@ -102,73 +102,107 @@ def main():
         (384, 12, (16, 14, 14)),
     ]
 
-    print("== EVAL fused_swin_block (frag+shift) ==", flush=True)
-    for knob in ("exp2", "mxu_rowsum"):
-        for C, h, dims in eval_stages:
-            params, rel, frag, x, wd, BW, Nw = stage_inputs(
-                C, h, dims, B_eval, jnp, dt
-            )
-            geo = WindowGeometry(
-                batch=B_eval, dims=dims, window=wd,
-                shift=(4, 3, 3), fragments=(1, 8, 8),
-                num_heads=h, head_dim=C // h, use_frag=True,
-            )
-            times = {}
-            for on in (False, True):
-                set_knob(WA, jnp, knob, on)
+    # loop counts per stage: the C>=384 kernels run in ~0.2-0.3 ms, at the
+    # noise floor of 5-iteration differencing through the tunnel — use
+    # longer in-jit loops there so the differenced quantity is >~2 ms
+    def loops(C):
+        return {96: (1, 5), 192: (2, 10)}.get(C, (4, 20))
 
-                def fn(vs, xx, g=geo, p=params, r=rel, f=frag):
-                    return fused_swin_block(
-                        xx, p, r, f, g, scale=(C // h) ** -0.5
-                    )
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
 
-                times[on] = timed_loop(fn, {}, x)
-            set_knob(WA, jnp, knob, False)
-            d = (times[False] - times[True]) / times[False] * 100
-            print(
-                f"eval  {knob:10s} C={C:4d}: off {times[False]*1e3:7.2f} ms"
-                f"  on {times[True]*1e3:7.2f} ms  ({d:+5.1f}%)",
-                flush=True,
-            )
+    if "eval" in only or not only:
+        print("== EVAL fused_swin_block (frag+shift) ==", flush=True)
+        for knob in ("exp2", "mxu_rowsum"):
+            for C, h, dims in eval_stages:
+                params, rel, frag, x, wd, BW, Nw = stage_inputs(
+                    C, h, dims, B_eval, jnp, dt
+                )
+                # fragments (1,7,7): the model's KSVQE geometry
+                # (nn/swin.py fragments_hw=7)
+                geo = WindowGeometry(
+                    batch=B_eval, dims=dims, window=wd,
+                    shift=(4, 3, 3), fragments=(1, 7, 7),
+                    num_heads=h, head_dim=C // h, use_frag=True,
+                )
+                n1, n2 = loops(C)
+                times = {}
+                try:
+                    for on in (False, True):
+                        set_knob(WA, jnp, knob, on)
 
-    print("== TRAIN train_swin_block fwd+bwd (frag+shift) ==", flush=True)
-    for knob in ("exp2", "pnfold"):
-        for C, h, dims in train_stages:
-            params, rel, frag, x, wd, BW, Nw = stage_inputs(
-                C, h, dims, 4, jnp, dt
-            )
-            geo = WindowGeometry(
-                batch=4, dims=dims, window=wd,
-                shift=(4, 3, 3), fragments=(1, 8, 8),
-                num_heads=h, head_dim=C // h, use_frag=True,
-            )
-            dp1 = jnp.ones((x.shape[0], 1), jnp.float32)
-            dp2 = jnp.ones((x.shape[0], 1), jnp.float32)
-            times = {}
-            for on in (False, True):
-                set_knob(WA, jnp, knob, on)
+                        def fn(vs, xx, g=geo, p=params, r=rel, f=frag):
+                            return fused_swin_block(
+                                xx, p, r, f, g, scale=(C // h) ** -0.5
+                            )
 
-                def loss(inp, g=geo):
-                    xx, p, r, f = inp
-                    out = train_swin_block(
-                        xx, p, r, f, g, dp1, dp2, scale=(C // h) ** -0.5
-                    )
-                    return jnp.sum(out.astype(jnp.float32))
+                        times[on] = timed_loop(fn, {}, x, n1=n1, n2=n2)
+                except Exception as e:  # noqa: BLE001 — keep profiling
+                    print(f"eval  {knob:10s} C={C:4d}: "
+                          f"FAILED {type(e).__name__}: {str(e)[:120]}",
+                          flush=True)
+                    continue
+                finally:
+                    set_knob(WA, jnp, knob, False)
+                d = (times[False] - times[True]) / times[False] * 100
+                print(
+                    f"eval  {knob:10s} C={C:4d}: "
+                    f"off {times[False]*1e3:7.2f} ms"
+                    f"  on {times[True]*1e3:7.2f} ms  ({d:+5.1f}%)",
+                    flush=True,
+                )
 
-                vag = jax.value_and_grad(loss)
+    if "train" in only or not only:
+        print("== TRAIN train_swin_block fwd+bwd (frag+shift) ==",
+              flush=True)
+        for knob in ("exp2", "pnfold"):
+            for C, h, dims in train_stages:
+                params, rel, frag, x, wd, BW, Nw = stage_inputs(
+                    C, h, dims, 4, jnp, dt
+                )
+                geo = WindowGeometry(
+                    batch=4, dims=dims, window=wd,
+                    shift=(4, 3, 3), fragments=(1, 7, 7),
+                    num_heads=h, head_dim=C // h, use_frag=True,
+                )
+                dp1 = jnp.ones((x.shape[0], 1), jnp.float32)
+                dp2 = jnp.ones((x.shape[0], 1), jnp.float32)
+                n1, n2 = loops(C)
+                times = {}
+                try:
+                    for on in (False, True):
+                        set_knob(WA, jnp, knob, on)
 
-                def fn(vs, inp):
-                    v, g = vag(inp)
-                    return (v, g)
+                        def loss(inp, g=geo):
+                            xx, p, r, f = inp
+                            out = train_swin_block(
+                                xx, p, r, f, g, dp1, dp2,
+                                scale=(C // h) ** -0.5,
+                            )
+                            return jnp.sum(out.astype(jnp.float32))
 
-                times[on] = timed_loop(fn, {}, (x, params, rel, frag))
-            set_knob(WA, jnp, knob, False)
-            d = (times[False] - times[True]) / times[False] * 100
-            print(
-                f"train {knob:10s} C={C:4d}: off {times[False]*1e3:7.2f} ms"
-                f"  on {times[True]*1e3:7.2f} ms  ({d:+5.1f}%)",
-                flush=True,
-            )
+                        vag = jax.value_and_grad(loss)
+
+                        def fn(vs, inp):
+                            v, g = vag(inp)
+                            return (v, g)
+
+                        times[on] = timed_loop(
+                            fn, {}, (x, params, rel, frag), n1=n1, n2=n2
+                        )
+                except Exception as e:  # noqa: BLE001 — keep profiling
+                    print(f"train {knob:10s} C={C:4d}: "
+                          f"FAILED {type(e).__name__}: {str(e)[:120]}",
+                          flush=True)
+                    continue
+                finally:
+                    set_knob(WA, jnp, knob, False)
+                d = (times[False] - times[True]) / times[False] * 100
+                print(
+                    f"train {knob:10s} C={C:4d}: "
+                    f"off {times[False]*1e3:7.2f} ms"
+                    f"  on {times[True]*1e3:7.2f} ms  ({d:+5.1f}%)",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":
