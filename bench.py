@@ -205,13 +205,19 @@ def measure(B, model, variables, T=96, reps=3):
     return B / step_s, step_s, compile_s, tf_video
 
 
-def measure_train(B=4, T=32, reps=3):
+def measure_train(B=4, T=32, reps=3, variables=None):
     """Full train step (KSVQE fwd+bwd, AdamW, EMA, remat off): K optimizer
     steps under ``lax.scan`` inside one jitted program, differenced across
     two K values — the SAME methodology as eval (r3 used single dispatched
     calls whose ~30 ms round-trip inflated a ~150 ms step by ~20%; scan
     keeps only one step's activations live so it does not OOM the way an
-    unrolled in-jit loop does)."""
+    unrolled in-jit loop does).
+
+    ``variables``: reuse the eval phase's initialized weights — params are
+    B/T-independent and a COLD train-mode init compile costs ~20 min on
+    this host (measured 1227 s; the train=True XLA forward is a much
+    bigger trace than eval's), which would eat the whole driver budget on
+    a cold compilation cache."""
     import functools
 
     import jax
@@ -237,17 +243,14 @@ def measure_train(B=4, T=32, reps=3):
             np.random.default_rng(1).normal(size=(B,)), jnp.float32
         ),
     )
-    rngs = {
-        "params": jax.random.key(0),
-        "qrs": jax.random.key(1),
-        "dropout": jax.random.key(2),
-    }
-    t0 = time.time()
-    variables = jax.jit(lambda b: model.init(rngs, b, train=True))(batch)
+    if variables is None:
+        # standalone use: train=False init creates the identical variable
+        # tree (no module creates params only in train mode) and compiles
+        # ~25x faster than the train=True trace
+        variables, init_s = init_variables(model, batch)
+        note(f"train init {init_s:.0f}s")
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    jax.block_until_ready(params)
-    note(f"train init {time.time() - t0:.0f}s")
     tx = build_optimizer(
         params, lr=3e-5, weight_decay=0.05, warmup_iters=50, max_iters=1000,
         frozen_patterns=KSVQE_FROZEN_PATTERNS,
@@ -450,7 +453,9 @@ def main():
     note("measuring train step B=4 T=32 (in-jit scan differencing)")
     train = None
     try:
-        train_vps, train_step_s, train_tf = measure_train()
+        train_vps, train_step_s, train_tf = measure_train(
+            variables=variables
+        )
         note(f"train: {train_vps:.1f} videos/s "
              f"({train_step_s * 1000:.0f} ms/step)")
         train = {

@@ -104,9 +104,24 @@ def main():
 
     # loop counts per stage: the C>=384 kernels run in ~0.2-0.3 ms, at the
     # noise floor of 5-iteration differencing through the tunnel — use
-    # longer in-jit loops there so the differenced quantity is >~2 ms
+    # longer in-jit loops there so the differenced quantity is >~2 ms.
+    # KVQ_PROF_LOOPS="n1,n2" overrides for high-precision re-runs;
+    # KVQ_PROF_STAGES="96,192" restricts the stage set.
+    import os
+
+    loops_env = os.environ.get("KVQ_PROF_LOOPS")
+
     def loops(C):
+        if loops_env:
+            a, b = loops_env.split(",")
+            return (int(a), int(b))
         return {96: (1, 5), 192: (2, 10)}.get(C, (4, 20))
+
+    stages_env = os.environ.get("KVQ_PROF_STAGES")
+    if stages_env:
+        keep = {int(c) for c in stages_env.split(",")}
+        eval_stages = [s for s in eval_stages if s[0] in keep]
+        train_stages = [s for s in train_stages if s[0] in keep]
 
     only = sys.argv[2] if len(sys.argv) > 2 else ""
 
@@ -130,12 +145,20 @@ def main():
                     for on in (False, True):
                         set_knob(WA, jnp, knob, on)
 
-                        def fn(vs, xx, g=geo, p=params, r=rel, f=frag):
+                        # every array rides the loop args: closed-over
+                        # device arrays become program CONSTANTS, which
+                        # Mosaic places on the kernel's scoped-vmem stack
+                        # (measured: the C=384 train bwd kernel compiles
+                        # as-args but scoped-vmem-OOMs as-constants)
+                        def fn(vs, inp, g=geo):
+                            xx, p, r, f = inp
                             return fused_swin_block(
                                 xx, p, r, f, g, scale=(C // h) ** -0.5
                             )
 
-                        times[on] = timed_loop(fn, {}, x, n1=n1, n2=n2)
+                        times[on] = timed_loop(
+                            fn, {}, (x, params, rel, frag), n1=n1, n2=n2
+                        )
                 except Exception as e:  # noqa: BLE001 — keep profiling
                     print(f"eval  {knob:10s} C={C:4d}: "
                           f"FAILED {type(e).__name__}: {str(e)[:120]}",
@@ -172,22 +195,29 @@ def main():
                     for on in (False, True):
                         set_knob(WA, jnp, knob, on)
 
-                        def loss(inp, g=geo):
-                            xx, p, r, f = inp
+                        # dp1/dp2 ride the args too — as constants they
+                        # land on the kernel's scoped-vmem stack and the
+                        # C=384 bwd kernel fails to compile (see eval note)
+                        def loss(diff, dps, g=geo):
+                            xx, p, r, f = diff
+                            d1, d2 = dps
                             out = train_swin_block(
-                                xx, p, r, f, g, dp1, dp2,
+                                xx, p, r, f, g, d1, d2,
                                 scale=(C // h) ** -0.5,
                             )
                             return jnp.sum(out.astype(jnp.float32))
 
-                        vag = jax.value_and_grad(loss)
+                        vag = jax.value_and_grad(loss, argnums=0)
 
                         def fn(vs, inp):
-                            v, g = vag(inp)
+                            diff, dps = inp
+                            v, g = vag(diff, dps)
                             return (v, g)
 
                         times[on] = timed_loop(
-                            fn, {}, (x, params, rel, frag), n1=n1, n2=n2
+                            fn, {},
+                            ((x, params, rel, frag), (dp1, dp2)),
+                            n1=n1, n2=n2,
                         )
                 except Exception as e:  # noqa: BLE001 — keep profiling
                     print(f"train {knob:10s} C={C:4d}: "
