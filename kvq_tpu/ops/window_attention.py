@@ -626,39 +626,18 @@ BIAS_CACHE_DTYPE = jnp.float32
 # negligible ones).  "row" keeps the classic per-row max subtraction.
 BLOCK_SOFTMAX = os.environ.get("KVQ_BLOCK_SOFTMAX", "fold")
 
-# Base-2 softmax in the fused block kernels.  The VPU computes exp(x) as
-# exp2(x * log2 e) — one extra multiply per (N, N) score element on the
-# hottest elementwise pass.  Prescaling every logit-scale input by log2 e
-# OUTSIDE the score plane (the q tile's scale constant, the bias tables /
-# cache slabs, the d-seam mask) makes exp2(s') == exp(s) exactly (mod one
-# f32 rounding on the prescale) with the multiply folded away.  Gradient
-# contractions in the train bwd kernel keep the ORIGINAL scale/q operands
-# (only the recompute's score matmul sees prescaled values), so weight
-# and bias gradients are unchanged.  A/B via KVQ_EXP2.
-SOFTMAX_EXP2 = os.environ.get("KVQ_EXP2", "0") == "1"
-_LOG2E = 1.4426950408889634
 # overflow clamp for the fold path's fused add+exp (no row max): e-base 60
-# ~= base-2 86.6; both sit far above post-LN logit scale and well under
-# the f32 exponent ceiling
-_FOLD_CLAMP = 86.0 if SOFTMAX_EXP2 else 60.0
-_pexp = jnp.exp2 if SOFTMAX_EXP2 else jnp.exp
-
-# Softmax row sums on the MXU.  The (N, N) -> (N, 1) probability row sum
-# is a full score-plane VPU reduction; appending a ones column to the v
-# tile makes p @ [v | 1] produce the attention output AND the row sums in
-# one matmul — the extra output lane is free (the MXU pads the hd=32..128
-# output tile to 128 lanes either way), so the reduction rides the MXU,
-# which the stage-0 roofline shows idle ~60% waiting on the VPU.
-MXU_ROWSUM = os.environ.get("KVQ_MXU_SUM", "0") == "1"
-
-# Train-bwd probability normalization folded out of the score plane.  The
-# baseline bwd materializes pn = p * rinv — a full (N, N) VPU multiply per
-# head.  Because rinv is a per-ROW scale, it can ride the (N, hd) dout
-# tile instead: with dao_s = dao * rinv,  p^T @ dao_s == pn^T @ dao (dv),
-# dao_s @ v^T == rinv*dpn, and sum(dao_s*o) == rinv*dsum — so
-# ds = p ⊙ (dpn_s − dsum_s) equals pn ⊙ (dpn − dsum) exactly.  Also moves
-# the recompute's row sum onto the MXU via the ones-column trick above.
-BWD_PNFOLD = os.environ.get("KVQ_BWD_PNFOLD", "0") == "1"
+# sits far above post-LN logit scale and well under the f32 exponent
+# ceiling.
+#
+# Three softmax-path variants were implemented, measured, and DELETED as
+# perf-neutral dead ends (docs/PERF.md "Adjudicated kernel knobs", r4):
+# base-2 softmax with log2(e) prescaled into the bias slabs (KVQ_EXP2),
+# probability row sums as a ones-column on the p@v matmul (KVQ_MXU_SUM),
+# and bwd normalization folded onto the (N, hd) dout tile
+# (KVQ_BWD_PNFOLD).  Repeated A/B runs flipped sign inside the tunnel
+# noise band at every dominant geometry.
+_FOLD_CLAMP = 60.0
 
 # GELU's erf in the EVAL block kernel.  "poly": odd minimax polynomial
 # erf(z) ~ clip(z * P(min(z^2, 9)), -1, 1), deg-10 in z^2 — max |erf| error
@@ -886,43 +865,33 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                     # pass, no row-max reduction.  The clamp guards f32
                     # exp overflow — post-LN qk logits are O(10), the
                     # clamp only engages on pathological inputs.
-                    p = _pexp(jnp.minimum(s, _FOLD_CLAMP)).astype(xw.dtype)
+                    p = jnp.exp(jnp.minimum(s, _FOLD_CLAMP)).astype(
+                        xw.dtype
+                    )
                 else:
                     m = jnp.max(s, axis=-1, keepdims=True)
                     # exp in the input dtype: max-folded arguments peak
                     # near 0 where the bf16 cast costs nothing; p feeds
                     # the AV matmul as ``v.dtype`` anyway
-                    p = _pexp((s - m).astype(xw.dtype))
+                    p = jnp.exp((s - m).astype(xw.dtype))
                 # deferred normalization: divide the (N, hd) p@v result
                 # instead of the (N, N) probabilities.  The 1e-37 floor
                 # guards the fold path against a whole row underflowing
                 # (all args < -87 flush to 0 on TPU -> inf -> NaN); free
                 # on the (N, 1) sums, inert whenever any arg > -69
-                if MXU_ROWSUM:
-                    v1 = jnp.concatenate(
-                        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
-                    )
-                    o = jax.lax.dot_general(
-                        p, v1,
+                r = 1.0 / jnp.maximum(
+                    jnp.sum(
+                        p.astype(jnp.float32), axis=-1, keepdims=True
+                    ),
+                    1e-37,
+                )
+                outs.append(
+                    (jax.lax.dot_general(
+                        p, v,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )
-                    r = 1.0 / jnp.maximum(o[:, hd:], 1e-37)
-                    outs.append((o[:, :hd] * r).astype(xw.dtype))
-                else:
-                    r = 1.0 / jnp.maximum(
-                        jnp.sum(
-                            p.astype(jnp.float32), axis=-1, keepdims=True
-                        ),
-                        1e-37,
-                    )
-                    outs.append(
-                        (jax.lax.dot_general(
-                            p, v,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ) * r).astype(xw.dtype)
-                    )
+                    ) * r).astype(xw.dtype)
+                )
             att = jnp.concatenate(outs, axis=-1)  # (N, C)
             att = (
                 jax.lax.dot_general(
@@ -1029,12 +998,6 @@ def fused_swin_block(
         # here (tiny (h, N, N) XLA op) so the kernel's fused add+exp path
         # holds on every block; cached blocks fold at slab build instead
         rel_bias = rel_bias - jnp.max(rel_bias, axis=-1, keepdims=True)
-    if SOFTMAX_EXP2:
-        # prescale every logit-scale input so the kernel's exp2 equals exp
-        scale = scale * _LOG2E
-        rel_bias = rel_bias * _LOG2E
-        if frag_bias is not None:
-            frag_bias = frag_bias * _LOG2E
 
     # pattern-major 2-D grid ('major'): the slow axis walks pattern
     # chunks, the fast axis the B*Dw window instances of those patterns —
@@ -1080,7 +1043,7 @@ def fused_swin_block(
         in_specs.append(bias_spec(frag_bias))
     if d_seam:
         dsm = _d_seam_mask(geo)
-        args.append(dsm * _LOG2E if SOFTMAX_EXP2 else dsm)
+        args.append(dsm)
         in_specs.append(mat_spec(args[-1]))
     if droppath:
         # full-array blocks (always tiling-legal); kernel indexes globally
@@ -1733,42 +1696,22 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                       * scale).astype(dt)
                 k = qkv[:, C + hh * hd: C + (hh + 1) * hd]
                 v = qkv[:, 2 * C + hh * hd: 2 * C + (hh + 1) * hd]
-                if SOFTMAX_EXP2:
-                    # prescaled q tile for the score recompute only — the
-                    # dk contraction below keeps the original-scale qs, so
-                    # gradients are in e-base regardless of the exp base
-                    qs_p = (qs.astype(jnp.float32) * _LOG2E).astype(dt)
-                else:
-                    qs_p = qs
-                s = mm(qs_p, k, ((1,), (1,)))
+                s = mm(qs, k, ((1,), (1,)))
                 if need_cache:
                     s = s + cache_ref[slot, hh].astype(jnp.float32)
                 else:
                     s = s + relb_ref[hh]
                 if d_seam:
                     s = s + dmul * maskd_ref[...]
-                p = _pexp(jnp.minimum(s, _FOLD_CLAMP))
-                if BWD_PNFOLD:
-                    # rinv folds into the (N, hd) tiles below; the row sum
-                    # rides the MXU as a ones column on v (free lane)
-                    pd = p.astype(dt)
-                    v1 = jnp.concatenate(
-                        [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=-1
-                    )
-                    o2 = mm(pd, v1, ((1,), (0,)))  # (N, hd+1) f32
-                    rinv = 1.0 / jnp.maximum(o2[:, hd:], 1e-37)
-                    o_h = o2[:, :hd] * rinv  # normalized output, f32
-                    heads.append((qs, k, v, p, pd, rinv, o_h))
-                else:
-                    # same all-underflow guard as the fwd kernel's fold
-                    # path
-                    rinv = 1.0 / jnp.maximum(
-                        jnp.sum(p, axis=-1, keepdims=True), 1e-37
-                    )
-                    pn = p * rinv  # normalized probabilities, f32
-                    pnd = pn.astype(dt)
-                    o_h = mm(pnd, v, ((1,), (0,)))  # (N, hd) f32
-                    heads.append((qs, k, v, pn, pnd, rinv, o_h))
+                p = jnp.exp(jnp.minimum(s, _FOLD_CLAMP))
+                # same all-underflow guard as the fwd kernel's fold path
+                rinv = 1.0 / jnp.maximum(
+                    jnp.sum(p, axis=-1, keepdims=True), 1e-37
+                )
+                pn = p * rinv  # normalized probabilities, f32
+                pnd = pn.astype(dt)
+                o_h = mm(pnd, v, ((1,), (0,)))  # (N, hd) f32
+                heads.append((qs, k, v, pn, pnd, rinv, o_h))
 
             att_cat = jnp.concatenate(
                 [o.astype(dt) for *_x, o in heads], axis=-1
@@ -1815,39 +1758,20 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
             for hh in range(h):
                 qs, k, v, pn, pnd, rinv, o_h = heads[hh]
                 dao_h = dao[:, hh * hd:(hh + 1) * hd]
-                if BWD_PNFOLD:
-                    # pn/pnd hold the UNnormalized p here; rinv rides the
-                    # (N, hd) dout tile so every (N, N) contraction uses p
-                    # directly — no pn materialization (see BWD_PNFOLD)
-                    dao_s = dao_h * rinv
-                    dao_d = dao_s.astype(dt)
-                    dsum = jnp.sum(dao_s * o_h, axis=-1, keepdims=True)
-                else:
-                    dao_d = dao_h.astype(dt)
-                    dsum = jnp.sum(dao_h * o_h, axis=-1, keepdims=True)
+                dao_d = dao_h.astype(dt)
+                dsum = jnp.sum(dao_h * o_h, axis=-1, keepdims=True)
                 dvs.append(mm(pnd, dao_d, ((0,), (0,))).astype(dt))
                 dpn = mm(dao_d, v, ((1,), (1,)))  # (N, N) f32
                 ds = pn * (dpn - dsum)
                 # The recompute clamps exp's argument at _FOLD_CLAMP;
                 # d/ds exp(min(s, C)) is 0 where s >= C, so zero ds there
                 # (clamped entries are detectable as p == exp(C): the
-                # clamp and this threshold run the identical _pexp, so the
+                # clamp and this threshold run the identical exp, so the
                 # comparison is exact).  Engages only on pathological
                 # logit scales; keeps saturated-logit gradients from
                 # silently corrupting training.
-                # (exp2 of a CONSTANT trips a Mosaic lowering bug —
-                # jaxlib's math.exp2 builder rejects concrete operands —
-                # so the exp2-base threshold is the trace-time python
-                # constant 2**86, which is a power of two and therefore
-                # exactly equal to the kernel's exp2(86.0f))
-                clamp_p = (
-                    jnp.float32(2.0 ** _FOLD_CLAMP) if SOFTMAX_EXP2
-                    else _pexp(jnp.float32(_FOLD_CLAMP))
-                )
-                if BWD_PNFOLD:
-                    ds = jnp.where(pn < clamp_p, ds, 0.0)  # pn holds raw p
-                else:
-                    ds = jnp.where(pn < clamp_p * rinv, ds, 0.0)
+                clamp_p = jnp.exp(jnp.float32(_FOLD_CLAMP))
+                ds = jnp.where(pn < clamp_p * rinv, ds, 0.0)
                 if use_frag:
                     gate = gcache_ref[slot]
                     drel_ref[hh] += ds * gate
@@ -1986,14 +1910,6 @@ def _block_train_bwd_impl(geo, scale, interpret, x, params, rel, frag,
         # therefore every gradient, drel included — is unchanged)
         rel_in = rel - jnp.max(rel, axis=-1, keepdims=True)
     frag_in = frag
-    if SOFTMAX_EXP2:
-        # prescale the recompute's bias inputs for the kernel's exp2; the
-        # drel/dfrag OUTPUTS come from ds (computed from normalized
-        # probabilities alone), so they stay e-base gradients of the
-        # original tables
-        rel_in = rel_in * _LOG2E
-        if frag is not None:
-            frag_in = frag * _LOG2E
 
     max_pb, _est = _train_bwd_pb(geo, C, hidden)
     (G, grid, tile_map, const_map, full_map,
@@ -2033,7 +1949,7 @@ def _block_train_bwd_impl(geo, scale, interpret, x, params, rel, frag,
         in_specs.append(bias_spec(frag_in))
     if d_seam:
         dsm = _d_seam_mask(geo)
-        args.append(dsm * _LOG2E if SOFTMAX_EXP2 else dsm)
+        args.append(dsm)
         in_specs.append(mat_spec(args[-1]))
     args += [dp1, dp2, dout]
     in_specs += [dp_spec, dp_spec, spec_x]
