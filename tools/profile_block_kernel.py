@@ -22,6 +22,10 @@ def main():
     import os
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/kvq_jax_cache"
+    )
     import jax.numpy as jnp
 
     from kvq_tpu.ops import window_attention as WA

@@ -64,6 +64,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/kvq_jax_cache"
+    )
+
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     T = 96
     rng = np.random.default_rng(0)

@@ -20,6 +20,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kvq_jax_cache")
+
     from kvq_tpu.nn.ksvqe import KSVQE, ksvqe_config
     from kvq_tpu.nn.regionnet import keyframe_schedule
     from kvq_tpu.train.losses import distortion_contrastive_supervised

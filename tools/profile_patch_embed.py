@@ -24,6 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/kvq_jax_cache"
+    )
+
     B, T, H, W, C = 4, 96, 224, 224, 3
     pt, ph, pw, F = 2, 4, 4, 96
     dt = jnp.bfloat16

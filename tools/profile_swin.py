@@ -17,6 +17,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/kvq_jax_cache"
+    )
+
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     dt = jnp.bfloat16

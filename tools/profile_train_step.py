@@ -24,6 +24,10 @@ def main():
     import functools
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/kvq_jax_cache"
+    )
     import jax.numpy as jnp
     import optax
 
