@@ -22,9 +22,15 @@ Only q/k/v tiles and the per-head (N, N) relative/fragment bias planes are
 read from HBM; the bias planes are re-fetched only when the head index
 changes (grid is window-fastest, so Pallas keeps them resident in VMEM).
 
-Forward-only: the training path uses the XLA composition (same math,
-autodiff'd); this kernel accelerates inference/benchmark.  Numerical
-equivalence with the XLA path is covered by tests/test_window_attention.py.
+This module carries THREE kernel families: (a) the flash window-attention
+kernel above (eval, and the attention core some tests compare against),
+(b) the fused whole-block eval kernel ``fused_swin_block`` (LN->qkv->
+attention->proj->residual->LN->MLP->residual in one HBM round-trip), and
+(c) the differentiable fused TRAIN block ``train_swin_block`` — a
+``custom_vjp`` whose backward is one Pallas kernel per block that
+recomputes the forward flash-style and emits dx plus every weight
+gradient.  Numerical equivalence with the XLA composition is covered by
+tests/test_window_attention.py and tests/test_train_block.py.
 """
 
 from __future__ import annotations
@@ -1711,7 +1717,18 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                 pn = p * rinv  # normalized probabilities, f32
                 pnd = pn.astype(dt)
                 o_h = mm(pnd, v, ((1,), (0,)))  # (N, hd) f32
-                heads.append((qs, k, v, pn, pnd, rinv, o_h))
+                # Clamp-saturation mask, taken where `s` is live and with
+                # the EXACT comparison the clamp itself uses, carried to
+                # the grad loop in pn's sign (pn > 0 strictly whenever
+                # saturated, so negation is unambiguous).  An earlier
+                # scheme re-derived the mask there as p == exp(C) by
+                # comparing pn against exp(C)*rinv — dead code in
+                # practice: the scalar exp(C) constant-folds ~1e-5 away
+                # from the vectorized/VPU exp of the same argument, so
+                # the equality never held (caught by
+                # tests/test_train_block.py fold-clamp test).
+                pn_sgn = jnp.where(s >= _FOLD_CLAMP, -pn, pn)
+                heads.append((qs, k, v, pn_sgn, pnd, rinv, o_h))
 
             att_cat = jnp.concatenate(
                 [o.astype(dt) for *_x, o in heads], axis=-1
@@ -1756,22 +1773,20 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
 
             dqs, dks, dvs = [], [], []
             for hh in range(h):
-                qs, k, v, pn, pnd, rinv, o_h = heads[hh]
+                qs, k, v, pn_sgn, pnd, rinv, o_h = heads[hh]
                 dao_h = dao[:, hh * hd:(hh + 1) * hd]
                 dao_d = dao_h.astype(dt)
                 dsum = jnp.sum(dao_h * o_h, axis=-1, keepdims=True)
                 dvs.append(mm(pnd, dao_d, ((0,), (0,))).astype(dt))
                 dpn = mm(dao_d, v, ((1,), (1,)))  # (N, N) f32
-                ds = pn * (dpn - dsum)
                 # The recompute clamps exp's argument at _FOLD_CLAMP;
-                # d/ds exp(min(s, C)) is 0 where s >= C, so zero ds there
-                # (clamped entries are detectable as p == exp(C): the
-                # clamp and this threshold run the identical exp, so the
-                # comparison is exact).  Engages only on pathological
-                # logit scales; keeps saturated-logit gradients from
-                # silently corrupting training.
-                clamp_p = jnp.exp(jnp.float32(_FOLD_CLAMP))
-                ds = jnp.where(pn < clamp_p * rinv, ds, 0.0)
+                # d/ds exp(min(s, C)) is 0 where s >= C, so zero ds on
+                # the saturated entries — flagged by pn_sgn < 0 (the
+                # recompute loop negates pn exactly where s >= C).
+                # Engages only on pathological logit scales; keeps
+                # saturated-logit gradients from silently corrupting
+                # training.
+                ds = jnp.where(pn_sgn >= 0.0, pn_sgn * (dpn - dsum), 0.0)
                 if use_frag:
                     gate = gcache_ref[slot]
                     drel_ref[hh] += ds * gate

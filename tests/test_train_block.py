@@ -19,8 +19,14 @@ from kvq_tpu.ops.window_attention import WindowGeometry, train_swin_block
 pytestmark = pytest.mark.slow
 
 
-def _golden_block(x, params, rel, frag, gate, mask, dp1, dp2, h, scale):
-    """Differentiable XLA reference of one Swin block at (BW, N, C)."""
+def _golden_block(x, params, rel, frag, gate, mask, dp1, dp2, h, scale,
+                  clamp=None):
+    """Differentiable XLA reference of one Swin block at (BW, N, C).
+
+    clamp: replicate the kernels' fold-path softmax exactly —
+    ``exp(min(s, clamp)) / max(sum, 1e-37)`` — so autodiff through THIS
+    function is the ground truth for the saturated-logit gradient
+    semantics (d exp(min(s, C))/ds = 0 where s >= C)."""
     BW, N, C = x.shape
     hd = C // h
     nW = gate.shape[0] if gate is not None else (
@@ -49,7 +55,11 @@ def _golden_block(x, params, rel, frag, gate, mask, dp1, dp2, h, scale):
     s = s + bias
     if mask is not None:
         s = s + jnp.tile(mask[:, None], (BW // nW, 1, 1, 1))
-    p = jax.nn.softmax(s, axis=-1)
+    if clamp is not None:
+        pe = jnp.exp(jnp.minimum(s, clamp))
+        p = pe / jnp.maximum(jnp.sum(pe, axis=-1, keepdims=True), 1e-37)
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("whnm,whmd->whnd", p, v)
     o = o.transpose(0, 2, 1, 3).reshape(BW, N, C)
     att = o @ params["proj_w"] + params["proj_b"]
@@ -361,3 +371,136 @@ def test_fold_softmax_extreme_logits_no_nan():
         x, params, rel, None, geo, scale=hd ** -0.5, interpret=True,
     )
     assert bool(jnp.all(jnp.isfinite(out))), "NaN/inf leaked from fold path"
+
+
+def test_fold_clamp_zeroes_saturated_score_gradients():
+    """Logits past _FOLD_CLAMP=60: the bwd kernel must zero ds on the
+    saturated entries (d exp(min(s, C))/ds = 0 there).  Ground truth =
+    autodiff through the clamped golden.  This test caught a real r4 bug:
+    the shipped zeroing compared pn against exp(C)*rinv assuming the
+    scalar exp(C) equals the vectorized exp(C) — it does not (the
+    constant folds ~5.7e-6 away), so the zeroing NEVER engaged and
+    saturated entries fed ds = pn*(dpn-dsum) into drel/dq/dk.
+
+    Construction keeps every score FAR from the clamp boundary (so the
+    kernel's and the golden's ~1e-3 score differences cannot flip an
+    entry's classification): q is a constant +-1 ``pattern`` via the q
+    bias; k = a * LN(x); "aligned" tokens are x = pattern (+ small
+    orthogonal noise) giving s ~ +90 (saturated) or -90 (underflowed),
+    all other tokens are per-head-slice orthogonalized against the
+    pattern giving s ~ 0."""
+    from kvq_tpu.ops.window_attention import _FOLD_CLAMP
+
+    dims, window, shift = (4, 14, 14), (2, 7, 7), (0, 0, 0)
+    B, h, hd = 1, 2, 8
+    C, hidden = h * hd, 2 * h * hd
+    N = window[0] * window[1] * window[2]
+    nW = 8
+    BW = B * nW
+    scale = hd ** -0.5
+    rng = np.random.default_rng(7)
+
+    pattern = np.tile([1.0, -1.0], C // 2).astype(np.float32)
+    s_target = 90.0                      # saturated score, 30 past clamp
+    a = s_target / (hd * scale)
+    qkv_w = np.zeros((C, 3 * C), np.float32)
+    qkv_w[:, C:2 * C] = a * np.eye(C)   # k block
+    qkv_w[:, 2 * C:] = np.eye(C)        # v block
+    qkv_b = np.zeros((3 * C,), np.float32)
+    qkv_b[:C] = pattern                  # q lanes: constant query
+    params = {
+        "norm1_scale": jnp.ones((C,), jnp.float32),
+        "norm1_bias": jnp.zeros((C,), jnp.float32),
+        "qkv_w": jnp.asarray(qkv_w),
+        "qkv_b": jnp.asarray(qkv_b),
+        "proj_w": jnp.asarray(rng.normal(size=(C, C), scale=0.2),
+                              jnp.float32),
+        "proj_b": jnp.zeros((C,), jnp.float32),
+        "norm2_scale": jnp.ones((C,), jnp.float32),
+        "norm2_bias": jnp.zeros((C,), jnp.float32),
+        "fc1_w": jnp.asarray(rng.normal(size=(C, hidden), scale=0.2),
+                             jnp.float32),
+        "fc1_b": jnp.zeros((hidden,), jnp.float32),
+        "fc2_w": jnp.asarray(rng.normal(size=(hidden, C), scale=0.2),
+                             jnp.float32),
+        "fc2_b": jnp.zeros((C,), jnp.float32),
+    }
+
+    # tokens: orthogonalize each head slice against the pattern slice so
+    # random tokens score EXACTLY 0 per head (the pattern slice sums to
+    # zero, so LN's mean-subtraction cannot reintroduce a component)
+    xr = rng.normal(size=(BW, N, C)).astype(np.float32)
+    for hh in range(h):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        ps = pattern[sl]
+        proj = (xr[..., sl] @ ps) / hd
+        xr[..., sl] -= proj[..., None] * ps
+    sat_cols = np.arange(0, 24, 2)       # 12 saturated columns
+    neg_cols = np.arange(1, 8, 2)        # 4 underflowed columns
+    x_np = xr.copy()
+    x_np[:, sat_cols] = pattern + 0.05 * xr[:, sat_cols]
+    x_np[:, neg_cols] = -pattern + 0.05 * xr[:, neg_cols]
+    x = jnp.asarray(x_np)
+    rel = jnp.zeros((h, N, N), jnp.float32)
+
+    # margin guard: saturated columns sit far above the clamp, the rest
+    # far below — implementation-level score differences (~1e-3) cannot
+    # flip a classification
+    xhat = x_np - x_np.mean(-1, keepdims=True)
+    xhat = xhat / np.sqrt(x_np.var(-1) + 1e-6)[..., None]
+    for hh in range(h):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        sj = scale * a * (xhat[..., sl] @ pattern[sl])  # (BW, N)
+        assert sj[:, sat_cols].min() > _FOLD_CLAMP + 20
+        rest = np.delete(sj, sat_cols, axis=1)
+        assert rest.max() < _FOLD_CLAMP - 20
+
+    geo = WindowGeometry(
+        batch=B, dims=dims, window=window, shift=shift,
+        fragments=(1, 7, 7), num_heads=h, head_dim=hd, use_frag=False,
+    )
+    dp1 = dp2 = jnp.ones((BW, 1), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(BW, N, C)), jnp.float32)
+
+    def loss_kernel(x, params, rel):
+        out = train_swin_block(
+            x, params, rel, None, geo, dp1, dp2, scale=scale,
+            interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    def loss_golden(x, params, rel, clamp):
+        out = _golden_block(
+            x, params, rel, None, None, None, dp1, dp2, h, scale,
+            clamp=clamp,
+        )
+        return jnp.sum(out * cot)
+
+    vk, gk = jax.value_and_grad(loss_kernel, argnums=(0, 1, 2))(
+        x, params, rel
+    )
+    vg, gg = jax.value_and_grad(loss_golden, argnums=(0, 1, 2))(
+        x, params, rel, _FOLD_CLAMP
+    )
+
+    # the test discriminates: WITHOUT the clamp the golden feeds real
+    # gradient through the saturated entries' scores (what a reverted
+    # kernel would emit), WITH it those entries are exactly zero
+    dr_unclamped = np.asarray(
+        jax.grad(loss_golden, argnums=2)(x, params, rel, None)
+    )
+    dr_clamped = np.asarray(gg[2])
+    assert np.abs(dr_unclamped[:, :, sat_cols]).max() > 1e-2
+    assert np.abs(dr_clamped[:, :, sat_cols]).max() < 1e-6
+
+    np.testing.assert_allclose(float(vk), float(vg), rtol=2e-5)
+    for name, a_, b_ in zip(["dx", "dparams", "drel"], gk, gg):
+        fa = jax.tree_util.tree_leaves(a_)
+        fb = jax.tree_util.tree_leaves(b_)
+        for la, lb in zip(fa, fb):
+            scale_ref = max(1e-3, float(jnp.abs(lb).max()))
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb),
+                atol=5e-4 * scale_ref, rtol=2e-3,
+                err_msg=f"{name} mismatch under saturated logits",
+            )
