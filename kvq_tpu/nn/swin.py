@@ -373,6 +373,36 @@ def window_reverse(windows, window_size, B, D, H, W):
     return x.reshape(B, D, H, W, -1)
 
 
+def fused_block_vmem_bytes(probe, C: int, hidden: int) -> int:
+    """VMEM footprint estimate of the fused eval/train-forward block
+    kernel: fp32 rel/frag bias planes plus the per-pattern bias cache
+    (ops.window_attention._plan_bias_cache), bf16 block weights
+    (qkv+proj+4x MLP), double-buffered token tiles (mirrors the G
+    selection in fused_swin_block), plus ~1 MB of reused scratch.  The
+    kernel raises Mosaic's scoped-VMEM ceiling to 100 MB (v5e has
+    128 MB); SwinBlock3D gates on 80 MB for compiler-temporary headroom.
+    Shared by the gate and its test (tests/test_swin.py)."""
+    from ..ops.window_attention import _plan_bias_cache
+
+    N = probe.n_tokens
+    _, _, cache_pats = _plan_bias_cache(probe)
+    if not (probe.use_frag or probe.shift[1] or probe.shift[2]):
+        cache_pats = 0  # kernel reads the rel plane directly, no cache
+    per_window = 2 * N * C * 2
+    g_tiles = next(
+        (g * per_window for g in (8, 4, 2, 1)
+         if g * per_window <= 4 * 1024 * 1024),
+        per_window,
+    )
+    return (
+        (1 + int(probe.use_frag) + cache_pats)
+        * probe.num_heads * N * N * 4
+        + (4 * C * C + 2 * C * hidden) * 2
+        + g_tiles
+        + 1024 * 1024
+    )
+
+
 class SwinBlock3D(nn.Module):
     """One (S)W-MSA + MLP block (reference SwinTransformerBlock3D,
     swin_backbone.py:329-520)."""
@@ -491,14 +521,7 @@ class SwinBlock3D(nn.Module):
 
         N = window[0] * window[1] * window[2]
         no_pad = D % window[0] == 0 and H % window[1] == 0 and W % window[2] == 0
-        # The fused kernel's VMEM residents: fp32 rel/frag bias planes plus
-        # the per-pattern bias cache (see ops.window_attention
-        # _plan_bias_cache), bf16 block weights (qkv+proj+4x MLP),
-        # double-buffered token tiles (mirrors the G selection in
-        # fused_swin_block), plus ~1 MB of reused scratch.  The kernel
-        # raises Mosaic's scoped-VMEM ceiling to 100 MB (v5e has 128 MB);
-        # gate with headroom for compiler temporaries.
-        from ..ops.window_attention import WindowGeometry, _plan_bias_cache
+        from ..ops.window_attention import WindowGeometry
 
         probe = WindowGeometry(
             batch=B, dims=(D, H, W), window=window, shift=shift,
@@ -506,23 +529,8 @@ class SwinBlock3D(nn.Module):
             num_heads=self.num_heads, head_dim=C // self.num_heads,
             use_frag=self.frag_bias,
         )
-        _, _, cache_pats = _plan_bias_cache(probe)
-        if not (self.frag_bias or shift[1] or shift[2]):
-            cache_pats = 0  # kernel reads the rel plane directly, no cache
         hidden = int(C * self.mlp_ratio)
-        per_window = 2 * N * C * 2
-        g_tiles = next(
-            (g * per_window for g in (8, 4, 2, 1)
-             if g * per_window <= 4 * 1024 * 1024),
-            per_window,
-        )
-        vmem_est = (
-            (1 + int(self.frag_bias) + cache_pats)
-            * self.num_heads * N * N * 4
-            + (4 * C * C + 2 * C * hidden) * 2
-            + g_tiles
-            + 1024 * 1024
-        )
+        vmem_est = fused_block_vmem_bytes(probe, C, hidden)
         can_fuse = (
             self.use_pallas
             and not self.jump_attention

@@ -142,3 +142,73 @@ def test_shifted_window_differs_from_unshifted():
     v = model.init(jax.random.key(0), {"technical": x}, train=False)
     out = model.apply(v, {"technical": x}, train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_fwd_vmem_gate_routes_xla(monkeypatch):
+    """The fused-train gate must check the FORWARD kernel's VMEM estimate
+    too, not only the bwd's (r4 advisor finding (b), untested until now).
+
+    With today's planners the bwd estimate structurally dominates (it
+    carries the same bias planes PLUS f32 gradient accumulators — probed
+    across window/head geometries, bwd > fwd everywhere), so the
+    dangerous combination "fwd > 80 MB but bwd fits" is synthesized by
+    stubbing the bwd estimate tiny on a REAL >80 MB-forward geometry —
+    exactly the exposure a future bwd-planner change would create.  The
+    gate must then take the XLA route; a positive control with both
+    estimates stubbed tiny proves the kernel route (and this test's spy)
+    actually engages."""
+    import kvq_tpu.ops.window_attention as WA
+
+    C, h = 384, 12
+    MB = 1024 * 1024
+    blk = S.SwinBlock3D(
+        num_heads=h, window_size=(4, 14, 14), shift=True,
+        frag_bias=True, use_pallas=True, dtype=jnp.float32,
+    )
+    xs = jax.ShapeDtypeStruct((1, 8, 28, 28, C), jnp.float32)
+    vshapes = jax.eval_shape(
+        lambda xx: blk.init(jax.random.key(0), xx, True), xs
+    )
+
+    probe = WA.WindowGeometry(
+        batch=1, dims=(8, 28, 28), window=(4, 14, 14), shift=(2, 7, 7),
+        fragments=(1, 7, 7), num_heads=h, head_dim=C // h, use_frag=True,
+    )
+    hidden = int(C * blk.mlp_ratio)
+    # the geometry is REALLY over the fwd budget, and really over the bwd
+    # one too (hence the stub below)
+    assert S.fused_block_vmem_bytes(probe, C, hidden) > 80 * MB
+    assert WA.train_block_vmem_bytes(probe, C, hidden) > 80 * MB
+
+    class RouteTaken(Exception):
+        pass
+
+    def raiser(*a, **k):
+        raise RouteTaken
+
+    monkeypatch.setattr(WA, "train_swin_block", raiser)
+    monkeypatch.setattr(WA, "fused_swin_block", raiser)
+    monkeypatch.setattr(WA, "ALLOW_CPU_PALLAS", True)
+    monkeypatch.setattr(WA, "TRAIN_INTERPRET", True)
+
+    # NB: each part uses its OWN function object — eval_shape goes
+    # through the jit trace cache, and a shared function + identical
+    # avals would hand part (b) part (a)'s cached trace, skipping the
+    # re-route entirely.
+
+    # (a) bwd fits, fwd does not -> the gate must take the XLA route
+    # (eval_shape: routing happens at trace time, no FLOPs are paid)
+    monkeypatch.setattr(WA, "train_block_vmem_bytes", lambda *a: 1)
+    out = jax.eval_shape(
+        lambda p, xx: blk.apply({"params": p}, xx, True),
+        vshapes["params"], xs,
+    )
+    assert out.shape == (1, 8, 28, 28, C)
+
+    # (b) positive control: both estimates fit -> fused kernel route
+    monkeypatch.setattr(S, "fused_block_vmem_bytes", lambda *a: 1)
+    with pytest.raises(RouteTaken):
+        jax.eval_shape(
+            lambda p, xx: blk.apply({"params": p}, xx, True),
+            vshapes["params"], xs,
+        )
