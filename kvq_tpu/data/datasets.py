@@ -349,12 +349,13 @@ def make_synthetic_opt(
         )
         for i in range(n_videos)
     ]
+    st = sample_types or {}
     opt = {
         "anno_file": ann,
         "data_prefix": "",
         "phase": phase,
         "seed": seed,
-        "sample_types": sample_types or {},
+        "sample_types": st,
         # NOTE: zlib.crc32, NOT hash() — python string hashing is salted
         # per process, which would give every process (multi-host tests,
         # test re-runs) different synthetic data for the same name.
@@ -365,7 +366,7 @@ def make_synthetic_opt(
     if with_features:
         # features per frame of the sampled clip (the reference hardcodes 8
         # = clip_len of its config, fusion_datasets.py:860)
-        n_feat = next(iter(sample_types.values())).get("clip_len", 8)
+        n_feat = next(iter(st.values()), {}).get("clip_len", 8)
         opt["feature_factory"] = lambda name: np.random.default_rng(
             zlib.crc32(name.encode()) % (2**31)
         ).normal(size=(n_feat, 2304)).astype(np.float32)
@@ -412,12 +413,13 @@ def make_learnable_synthetic_opt(
         for i in range(n_videos)
     ]
     amp_by_path = {names[i]: float(amps[i]) for i in range(n_videos)}
+    st = sample_types or {}
     opt = {
         "anno_file": ann,
         "data_prefix": "",
         "phase": phase,
         "seed": seed,
-        "sample_types": sample_types or {},
+        "sample_types": st,
         "source_factory": lambda path: SyntheticVideoSource(
             n_frames, height, width,
             seed=zlib.crc32(path.encode()) % (2**31),
@@ -425,7 +427,7 @@ def make_learnable_synthetic_opt(
         ),
     }
     if with_features:
-        n_feat = next(iter(sample_types.values())).get("clip_len", 8)
+        n_feat = next(iter(st.values()), {}).get("clip_len", 8)
         opt["feature_factory"] = lambda name: np.random.default_rng(
             zlib.crc32(name.encode()) % (2**31)
         ).normal(size=(n_feat, 2304)).astype(np.float32)
