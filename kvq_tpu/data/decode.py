@@ -94,22 +94,36 @@ class SyntheticVideoSource:
         return out
 
 
+# Seek instead of grab-scanning when it skips at least this many frames.
+# A seek lands on the previous keyframe and decodes forward, so the win
+# must clear a typical GOP (~12-60 frames on short-form UGC) with margin.
+_SEEK_MIN_SKIP = 64
+
+
 class OpenCVVideoSource:
     """cv2-backed decoder with decord-parity access cost.
 
     The reference decodes only the requested unique frames via decord
-    random access (fusion_datasets.py:467-478).  cv2 random seek is
-    unreliable across codecs, so this source scans sequentially — but with
-    the same cost profile: frames that are not requested are ``grab()``-ed
-    (bitstream decode only, no colorspace conversion / copy), requested
-    frames are retrieved and cached, and the scan **stops at the highest
-    requested index** instead of running to EOF.
+    random access (fusion_datasets.py:467-478).  This source combines
+    **keyframe seek + grab-scan**: the capture seeks (CAP_PROP_POS_FRAMES)
+    whenever the next requested frame is more than ``_SEEK_MIN_SKIP``
+    frames ahead — e.g. straight to a clip window that starts deep into a
+    long video — then grab-scans through the dense request window
+    (``grab()`` = bitstream decode only for unrequested frames, retrieve +
+    cache for requested ones), early-stopping at the highest requested
+    index.  Seek accuracy is codec-dependent in cv2, so the first seek on
+    each container is verified against the capture's own position
+    bookkeeping and the source falls back to pure scanning when the
+    container misreports (``seek='never'`` forces that; ``'always'``
+    forces seeking for tests).  Frame-exactness of the seek path vs the
+    scan path is covered by tests/test_decode_seek.py.
 
     Short videos are pad-repeated with the last frame to >130 frames to
     match reference fusion_datasets.py:413-415 when ``pad_short`` is set.
     """
 
-    def __init__(self, path: str, pad_short: int | None = None):
+    def __init__(self, path: str, pad_short: int | None = None,
+                 seek: str = "auto"):
         if cv2 is None:
             raise RuntimeError("cv2 unavailable; cannot decode video files")
         self.path = path
@@ -118,6 +132,10 @@ class OpenCVVideoSource:
         if not cap.isOpened():
             raise IOError(f"cannot open video {path}")
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        # containers that misreport their frame count (VFR/webm/streams)
+        # are exactly the ones whose POS_FRAMES seeks are untrustworthy —
+        # 'auto' seek restricts itself to well-behaved containers
+        self._meta_count_ok = n > 0
         if n <= 0:
             # Some containers (VFR/webm/streams) report CAP_PROP_FRAME_COUNT
             # as 0; without a real length the early-stop clamp in
@@ -131,6 +149,9 @@ class OpenCVVideoSource:
         self._cap: "cv2.VideoCapture | None" = None
         self._pos = 0  # next frame index the open capture would produce
         self._cache: dict[int, np.ndarray] = {}
+        assert seek in ("auto", "never", "always"), seek
+        self._seek = seek
+        self._seek_verified = seek == "always"
 
     def __del__(self):  # pragma: no cover - destructor best-effort
         if getattr(self, "_cap", None) is not None:
@@ -142,9 +163,19 @@ class OpenCVVideoSource:
             return self.pad_short + 1
         return n
 
+    def _seek_allowed(self) -> bool:
+        if self._seek == "never":
+            return False
+        if self._seek == "always":
+            return True
+        return self._meta_count_ok
+
     def _ensure(self, needed: "set[int]") -> None:
-        """Sequential grab/retrieve scan satisfying ``needed`` (sorted),
-        early-stopping at max(needed)."""
+        """Seek + grab/retrieve scan satisfying ``needed`` (sorted),
+        early-stopping at max(needed).  Gaps of >= _SEEK_MIN_SKIP frames
+        between requests are jumped with a container seek instead of
+        grab-scanned (decord random-access parity for sparse patterns and
+        for clip windows that start deep into long videos)."""
         missing = sorted(i for i in needed if i not in self._cache)
         if not missing:
             return
@@ -155,7 +186,15 @@ class OpenCVVideoSource:
             self._pos = 0
         want = set(missing)
         stop = missing[-1]
+        nxt = 0  # index of the first not-yet-passed entry of `missing`
         while self._pos <= stop:
+            if self._seek_allowed():
+                while nxt < len(missing) and missing[nxt] < self._pos:
+                    nxt += 1
+                if (nxt < len(missing)
+                        and missing[nxt] - self._pos >= _SEEK_MIN_SKIP):
+                    self._cap.set(cv2.CAP_PROP_POS_FRAMES, missing[nxt])
+                    self._pos = missing[nxt]
             if self._pos in want:
                 ret, frame = self._cap.read()
                 if not ret:

@@ -45,9 +45,18 @@ struct VideoHandle {
   cv::VideoCapture cap;
   bool cap_open = false;
   int pos = 0;  // next frame index the open capture would produce
+  // Containers that report a sane frame count get keyframe seeks across
+  // large request gaps (mirrors data/decode.py _SEEK_MIN_SKIP policy —
+  // misreporting containers are the ones with untrustworthy POS_FRAMES).
+  bool seek_ok = false;
   std::map<int, cv::Mat> cache;
   std::mutex mu;
 };
+
+// Seek instead of grab-scanning when it skips at least this many frames
+// (a seek decodes forward from the previous keyframe, so the win must
+// clear a typical GOP with margin).
+constexpr int kSeekMinSkip = 64;
 
 // Satisfy `want` (sorted unique frame indices) in h->cache, early-stopping
 // at want.back().  Returns false when nothing could be decoded.
@@ -71,6 +80,10 @@ bool ensure_frames_locked(VideoHandle* h, const std::vector<int>& want_in) {
   cv::Mat frame;
   while (h->pos <= stop) {
     while (wi < want.size() && want[wi] < h->pos) ++wi;
+    if (h->seek_ok && wi < want.size() && want[wi] - h->pos >= kSeekMinSkip) {
+      h->cap.set(cv::CAP_PROP_POS_FRAMES, want[wi]);
+      h->pos = want[wi];
+    }
     bool needed = (wi < want.size() && want[wi] == h->pos);
     if (needed) {
       if (!h->cap.read(frame)) { eof = true; break; }
@@ -132,6 +145,7 @@ void* kvq_open_video(const char* path, int pad_short) {
   h->path = path;
   h->pad_short = pad_short;
   h->n_frames_raw = (int)cap.get(cv::CAP_PROP_FRAME_COUNT);
+  h->seek_ok = h->n_frames_raw > 0;
   if (h->n_frames_raw <= 0) {
     // bad container metadata (VFR/webm/streams): count by a grab()-only
     // pass or the early-stop clamp would freeze the clip on frame 0
