@@ -159,6 +159,57 @@ def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
     e2e_s = time.time() - t0
     vps = n_videos / e2e_s
 
+    # per-phase attribution (VERDICT r4 #7: measure the bottleneck claim,
+    # don't assert it).  Serial, same items as the eval pass: decode =
+    # the unique-frame decode alone; views = item total minus decode
+    # (mosaic + resize + normalize + pack); h2d = device transfer of the
+    # collated batch; device = best-of-3 single eval-step calls (includes
+    # the ~30 ms dispatch round-trip — upper bound, labelled as such).
+    phases = {}
+    try:
+        from kvq_tpu.data.decode import decode_views
+        from kvq_tpu.data.pipeline import collate
+        from kvq_tpu.train.trainer import array_batch
+        import numpy as _np
+
+        ds = tr.val_loader.dataset
+        k = min(n_videos, 4)
+        dec_s = item_s = 0.0
+        items = []
+        for i in range(k):
+            src = ds.source_factory(ds.video_infos[i]["filename"])
+            t0 = time.time()
+            decode_views(src, ds._samplers(ds._rng(i, 0)), False)
+            dec_s += time.time() - t0
+            t0 = time.time()
+            items.append(ds[i])
+            item_s += time.time() - t0
+        batch = collate(items[:eval_batch] or items)
+        t0 = time.time()
+        ab = array_batch(batch)
+        _np.asarray(next(iter(
+            v for v in ab.values() if hasattr(v, "dtype")
+        )))  # force the transfer
+        h2d_s = time.time() - t0
+        params = tr.state.params
+        dev_best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            out = tr._eval_step(params, tr.state.batch_stats, ab)
+            _np.asarray(out[0] if isinstance(out, tuple) else out)
+            dev_best = min(dev_best, time.time() - t0)
+        nb = len(items[:eval_batch] or items)
+        phases = {
+            "decode_ms_per_video": round(dec_s / k * 1e3, 1),
+            "views_ms_per_video": round(max(item_s - dec_s, 0.0) / k * 1e3, 1),
+            "h2d_ms_per_video": round(h2d_s / nb * 1e3, 1),
+            "device_ms_per_video_incl_dispatch": round(
+                dev_best / nb * 1e3, 1
+            ),
+        }
+    except Exception as e:  # noqa: BLE001 — attribution is auxiliary
+        phases = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+
     return {
         "metric": "KSVQE end-to-end eval videos/s (decode+views+device)",
         "value": round(vps, 3),
@@ -171,6 +222,7 @@ def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
             "build_s": round(build_s, 1),
             "first_pass_s": round(warm_s, 1),
             "steady_pass_s": round(e2e_s, 1),
+            "phases": phases,
             "note": "host-decode-bound on this 1-vCPU box; decode "
                     "parallelism scales with workers on real hosts",
         },
