@@ -15,12 +15,13 @@ uses ``lax.scan`` over full optimizer steps so the in-jit loop holds only
 one step's activations (an unrolled loop OOMs HBM).
 
 The model is initialized ONCE and the variables are reused across the
-batch-size sweep (params are B-independent).  The init program takes the
-batch as an ARGUMENT — jitting it as a closure embeds the ~45 MB batch
-as an HLO constant that the remote-execution tunnel re-uploads with the
-program on EVERY run (measured: 159-363 s per init at B=1; as-argument
-the same init executes in <1 s).  That constant-upload was the r3 bench
-cold-start blowup (BENCH_r03 `init_s` 361 s).
+batch-size sweep (params are B-independent).  Init is HOST-SIDE
+(``jax.eval_shape`` + numpy + one device_put): the r3/r4 driver records'
+300+ s ``init_s`` were XLA costs hiding inside a jitted init — r3 a
+closure-captured ~45 MB batch re-uploaded as an HLO constant every run,
+r4 the full eval forward cold-compiling on the driver's empty compile
+cache (the dev sessions' warm /tmp cache masked it).  Host init pays
+neither; the cold compile now shows up in the first ``compile_s``.
 
 Output contract: the headline JSON line is printed IMMEDIATELY after the
 train measurement, before the auxiliary e2e-serving phase; e2e then runs
@@ -136,21 +137,47 @@ def make_batch(B, T, jnp, s2d=True, seed=0):
 
 
 def init_variables(model, batch):
-    """Jitted init with the batch as an ARGUMENT (not a closure constant —
-    see the module docstring for why that matters on this platform)."""
+    """Host-side init: no XLA compile, no device compute (VERDICT r4 #4).
+
+    ``jax.eval_shape`` traces init abstractly for the exact variable tree
+    (shapes + dtypes); leaves are materialized with numpy by name
+    (scale/var -> 1, bias/mean -> 0, else N(0, 0.02)) and device_put once.
+    Bench weights only need sane numeric scale — every parity/accuracy
+    test initializes for real.  Why: the r4 driver record's init_s=339.1
+    was the full eval forward cold-compiling inside the jitted init (the
+    driver host starts with an empty /tmp compile cache, unlike the dev
+    sessions where the persistent cache made the same init look <1 s);
+    the host path cannot pay XLA at all, so the cold-compile cost now
+    lands where it belongs — in the first measured compile_s."""
     import jax
 
     t0 = time.time()
-    variables = jax.jit(
+    shapes = jax.eval_shape(
         lambda b: model.init(
             {"params": jax.random.key(0), "qrs": jax.random.key(1)},
             b,
             train=False,
-        )
-    )(batch)
+        ),
+        batch,
+    )
+    rng = np.random.default_rng(0)
+
+    def materialize(path, leaf):
+        last = path[-1]
+        name = str(getattr(last, "key", getattr(last, "name", last)))
+        if name in ("scale", "var"):
+            return np.ones(leaf.shape, leaf.dtype)
+        if name in ("bias", "mean"):
+            return np.zeros(leaf.shape, leaf.dtype)
+        return (rng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
+
+    host_tree = jax.tree_util.tree_map_with_path(materialize, shapes)
+    variables = jax.device_put(host_tree)
     _ = float(
-        jax.tree_util.tree_leaves(variables["params"])[0].reshape(-1)[0]
-    )  # force
+        np.asarray(
+            jax.tree_util.tree_leaves(variables["params"])[0]
+        ).reshape(-1)[0]
+    )  # force the transfer
     return variables, time.time() - t0
 
 
@@ -166,7 +193,11 @@ def measure(B, model, variables, T=96, reps=3):
     @functools.partial(jax.jit, static_argnums=3)
     def eval_n(vs, b, eps, n):
         acc = jnp.float32(0)
-        frag = b["fragment"] + (eps * jnp.float32(1e-6)).astype(
+        # eps*1e-2 is representable in bf16 at ~N(0,1) data scale, so the
+        # fragment tensor itself differs bitwise across reps (eps*1e-6 was
+        # below bf16 ULP — the distinct eps *argument* alone defeated
+        # caching, but only by accident of the cache key)
+        frag = b["fragment"] + (eps * jnp.float32(1e-2)).astype(
             b["fragment"].dtype
         )
         for _ in range(n):
@@ -187,22 +218,35 @@ def measure(B, model, variables, T=96, reps=3):
     note(f"B={B}: long-variant compiled, timing")
 
     def timed(n):
-        best = float("inf")
+        times = []
         for r in range(reps):
             eps = jnp.float32(r + 1)  # distinct args per rep
             t0 = time.time()
             float(eval_n(variables, batch, eps, n))
-            best = min(best, time.time() - t0)
-        return best
+            times.append(time.time() - t0)
+        return times
 
     t_short = timed(n1)
     t_long = timed(n2)
-    step_s = max((t_long - t_short) / (n2 - n1), 1e-9)
+    # Headline = best-of-reps differencing (noise floor); the per-rep
+    # paired differences give the run-to-run band so the record carries
+    # its own variance (VERDICT r4 item 3: the B=1 number swung ±11%
+    # across driver days with no code change — publish the spread).
+    per_rep = sorted(
+        max((tl - ts) / (n2 - n1), 1e-9)
+        for tl, ts in zip(t_long, t_short)
+    )
+    step_s = max((min(t_long) - min(t_short)) / (n2 - n1), 1e-9)
+    stats = {
+        "step_ms_median": round(per_rep[len(per_rep) // 2] * 1000, 1),
+        "step_ms_band": [round(per_rep[0] * 1000, 1),
+                         round(per_rep[-1] * 1000, 1)],
+    }
     tf = compiled_tflops(
         eval_n.lower(variables, batch, jnp.float32(0), 1).compile()
     )
     tf_video = tf / B if tf else None
-    return B / step_s, step_s, compile_s, tf_video
+    return B / step_s, step_s, compile_s, tf_video, stats
 
 
 def measure_train(B=4, T=32, reps=3, variables=None):
@@ -245,8 +289,8 @@ def measure_train(B=4, T=32, reps=3, variables=None):
     )
     if variables is None:
         # standalone use: train=False init creates the identical variable
-        # tree (no module creates params only in train mode) and compiles
-        # ~25x faster than the train=True trace
+        # tree (no module creates params only in train mode); host-side,
+        # so no XLA compile at all
         variables, init_s = init_variables(model, batch)
         note(f"train init {init_s:.0f}s")
     params = variables["params"]
@@ -416,10 +460,17 @@ def main():
         print(json.dumps({
             "metric": "KSVQE eval videos/sec/chip (96-frame KVQ val "
                       "workload)",
-            "value": round(vps, 3),
+            # bb None = no eval batch has succeeded yet: emit null, not a
+            # fake 0.0 measurement (the real error sits in detail.sweep)
+            "value": round(vps, 3) if bb is not None else None,
             "unit": "videos/s",
-            "vs_baseline": round(vps / A100_REFERENCE_VIDEOS_PER_SEC, 3),
+            "vs_baseline": (
+                round(vps / A100_REFERENCE_VIDEOS_PER_SEC, 3)
+                if bb is not None else None
+            ),
             "detail": {"partial": note_str, "best_batch": bb,
+                       **({} if bb is not None
+                          else {"error": "no eval measurement succeeded"}),
                        "sweep": results},
         }), flush=True)
 
@@ -427,7 +478,9 @@ def main():
         nonlocal eval_tf, best
         note(f"measuring eval B={B}")
         try:
-            vps, step_s, compile_s, tf_video = measure(B, model, variables)
+            vps, step_s, compile_s, tf_video, stats = measure(
+                B, model, variables
+            )
         except Exception as e:  # e.g. HBM OOM at the largest batch
             note(f"eval B={B} failed: {type(e).__name__}: {str(e)[:200]}")
             results[f"B{B}"] = {"error": f"{type(e).__name__}"}
@@ -437,6 +490,7 @@ def main():
             "videos_per_sec": round(vps, 3),
             "step_ms": round(step_s * 1000, 1),
             "compile_s": round(compile_s, 1),
+            **stats,
         }
         if tf_video:
             eval_tf = tf_video
@@ -481,10 +535,15 @@ def main():
         return {
             "metric": "KSVQE eval videos/sec/chip (96-frame KVQ val "
                       "workload)",
-            "value": round(vps, 3),
+            "value": round(vps, 3) if bb is not None else None,
             "unit": "videos/s",
-            "vs_baseline": round(vps / A100_REFERENCE_VIDEOS_PER_SEC, 3),
+            "vs_baseline": (
+                round(vps / A100_REFERENCE_VIDEOS_PER_SEC, 3)
+                if bb is not None else None
+            ),
             "detail": {
+                **({} if bb is not None
+                   else {"error": "no eval measurement succeeded"}),
                 "device": str(jax.devices()[0]),
                 "frames": 96,
                 "best_batch": bb,
