@@ -643,7 +643,19 @@ BLOCK_SOFTMAX = os.environ.get("KVQ_BLOCK_SOFTMAX", "fold")
 # and bwd normalization folded onto the (N, hd) dout tile
 # (KVQ_BWD_PNFOLD).  Repeated A/B runs flipped sign inside the tunnel
 # noise band at every dominant geometry.
-_FOLD_CLAMP = 60.0
+# Probability-space overflow clamp for the fold softmax:
+# p = min(exp(s), _CLAMP_P).  An EXACT power of two, so the bwd kernel's
+# saturation detection (pn == _CLAMP_P * rinv, i.e. "not <") is a
+# bitwise-identical product on every backend — the r4 scheme clamped the
+# exp *argument* at 60 and detected p == exp(60), which required the
+# in-kernel vectorized exp and the trace-time constant-folded exp to
+# agree bit-for-bit; on the TPU backend they differ by ~5.7e-6, so that
+# zeroing never engaged (caught by tests/test_train_block.py's
+# fold-clamp test).  exp overflow is still guarded: exp(s) = inf for
+# s > ~88.7 and min(inf, _CLAMP_P) = _CLAMP_P.  Only engages on
+# pathological logit scales (post-LN qk logits are O(10)).
+_CLAMP_P = 2.0 ** 70
+_FOLD_CLAMP = math.log(_CLAMP_P)  # s-space threshold (goldens/tests)
 
 # GELU's erf in the EVAL block kernel.  "poly": odd minimax polynomial
 # erf(z) ~ clip(z * P(min(z^2, 9)), -1, 1), deg-10 in z^2 — max |erf| error
@@ -868,10 +880,9 @@ def _make_block_kernel(geo: WindowGeometry, scale: float, group: int,
                 if BLOCK_SOFTMAX == "fold":
                     # bias row max folded into the slab (or pre-folded
                     # relb on the no-cache path): bias-add + exp is ONE
-                    # pass, no row-max reduction.  The clamp guards f32
-                    # exp overflow — post-LN qk logits are O(10), the
-                    # clamp only engages on pathological inputs.
-                    p = jnp.exp(jnp.minimum(s, _FOLD_CLAMP)).astype(
+                    # pass, no row-max reduction.  The p-space min guards
+                    # f32 exp overflow (see _CLAMP_P).
+                    p = jnp.minimum(jnp.exp(s), _CLAMP_P).astype(
                         xw.dtype
                     )
                 else:
@@ -1709,7 +1720,7 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                     s = s + relb_ref[hh]
                 if d_seam:
                     s = s + dmul * maskd_ref[...]
-                p = jnp.exp(jnp.minimum(s, _FOLD_CLAMP))
+                p = jnp.minimum(jnp.exp(s), _CLAMP_P)
                 # same all-underflow guard as the fwd kernel's fold path
                 rinv = 1.0 / jnp.maximum(
                     jnp.sum(p, axis=-1, keepdims=True), 1e-37
@@ -1717,18 +1728,7 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                 pn = p * rinv  # normalized probabilities, f32
                 pnd = pn.astype(dt)
                 o_h = mm(pnd, v, ((1,), (0,)))  # (N, hd) f32
-                # Clamp-saturation mask, taken where `s` is live and with
-                # the EXACT comparison the clamp itself uses, carried to
-                # the grad loop in pn's sign (pn > 0 strictly whenever
-                # saturated, so negation is unambiguous).  An earlier
-                # scheme re-derived the mask there as p == exp(C) by
-                # comparing pn against exp(C)*rinv — dead code in
-                # practice: the scalar exp(C) constant-folds ~1e-5 away
-                # from the vectorized/VPU exp of the same argument, so
-                # the equality never held (caught by
-                # tests/test_train_block.py fold-clamp test).
-                pn_sgn = jnp.where(s >= _FOLD_CLAMP, -pn, pn)
-                heads.append((qs, k, v, pn_sgn, pnd, rinv, o_h))
+                heads.append((qs, k, v, pn, pnd, rinv, o_h))
 
             att_cat = jnp.concatenate(
                 [o.astype(dt) for *_x, o in heads], axis=-1
@@ -1773,20 +1773,22 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
 
             dqs, dks, dvs = [], [], []
             for hh in range(h):
-                qs, k, v, pn_sgn, pnd, rinv, o_h = heads[hh]
+                qs, k, v, pn, pnd, rinv, o_h = heads[hh]
                 dao_h = dao[:, hh * hd:(hh + 1) * hd]
                 dao_d = dao_h.astype(dt)
                 dsum = jnp.sum(dao_h * o_h, axis=-1, keepdims=True)
                 dvs.append(mm(pnd, dao_d, ((0,), (0,))).astype(dt))
                 dpn = mm(dao_d, v, ((1,), (1,)))  # (N, N) f32
-                # The recompute clamps exp's argument at _FOLD_CLAMP;
-                # d/ds exp(min(s, C)) is 0 where s >= C, so zero ds on
-                # the saturated entries — flagged by pn_sgn < 0 (the
-                # recompute loop negates pn exactly where s >= C).
-                # Engages only on pathological logit scales; keeps
-                # saturated-logit gradients from silently corrupting
-                # training.
-                ds = jnp.where(pn_sgn >= 0.0, pn_sgn * (dpn - dsum), 0.0)
+                ds = pn * (dpn - dsum)
+                # d/ds min(exp(s), K) is 0 on saturated entries; they are
+                # detected as p == _CLAMP_P, i.e. pn == fl(_CLAMP_P*rinv)
+                # — the identical f32 product, so the comparison is exact
+                # on every backend (p-space power-of-two clamp, see
+                # _CLAMP_P).  Keeps saturated-logit gradients from
+                # silently corrupting training; costs no extra VMEM (an
+                # s-derived mask carried to this loop blew the stage-2
+                # bwd kernel's scoped-VMEM stack by ~4 MB).
+                ds = jnp.where(pn < _CLAMP_P * rinv, ds, 0.0)
                 if use_frag:
                     gate = gcache_ref[slot]
                     drel_ref[hh] += ds * gate

@@ -374,13 +374,16 @@ def test_fold_softmax_extreme_logits_no_nan():
 
 
 def test_fold_clamp_zeroes_saturated_score_gradients():
-    """Logits past _FOLD_CLAMP=60: the bwd kernel must zero ds on the
-    saturated entries (d exp(min(s, C))/ds = 0 there).  Ground truth =
+    """Logits past the fold clamp: the bwd kernel must zero ds on the
+    saturated entries (d min(exp(s), K)/ds = 0 there).  Ground truth =
     autodiff through the clamped golden.  This test caught a real r4 bug:
-    the shipped zeroing compared pn against exp(C)*rinv assuming the
-    scalar exp(C) equals the vectorized exp(C) — it does not (the
-    constant folds ~5.7e-6 away), so the zeroing NEVER engaged and
-    saturated entries fed ds = pn*(dpn-dsum) into drel/dq/dk.
+    the shipped zeroing clamped the exp ARGUMENT at 60 and compared pn
+    against exp(60)*rinv, assuming the scalar exp equals the vectorized
+    exp — on the TPU backend they differ by ~5.7e-6, so the zeroing
+    NEVER engaged and saturated entries fed ds = pn*(dpn-dsum) into
+    drel/dq/dk.  The clamp is now p-space with an exact power of two
+    (_CLAMP_P), making the detection product bitwise-identical on every
+    backend.
 
     Construction keeps every score FAR from the clamp boundary (so the
     kernel's and the golden's ~1e-3 score differences cannot flip an
