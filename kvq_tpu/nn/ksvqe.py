@@ -70,6 +70,9 @@ class KSVQEConfig:
     # keyframe schedule is uniform (the grouped fast path applies) — lets
     # tests prove grouped == gather through the FULL model
     force_sem_gather: bool = False
+    # fold CONTRIQUE's frozen BatchNorms into their convs (exact algebra,
+    # nn/contrique.py:_fold) — measured in-graph neutral r5, default off
+    contrique_fold_bn: bool = False
     # reduced-geometry knobs for tests/dry-runs (defaults = paper shapes)
     contrique_layers: tuple[int, ...] = (3, 4, 6, 3)
     clip_layers: int = 12
@@ -100,6 +103,7 @@ def ksvqe_config(bb: dict | None) -> KSVQEConfig:
         num_heads=tuple(bb.get("num_heads", (3, 6, 12, 24))),
         embed_dim=int(bb.get("embed_dim", 96)),
         window_size=tuple(bb.get("window_size", (8, 7, 7))),
+        contrique_fold_bn=bool(bb.get("contrique_fold_bn", False)),
         contrique_layers=tuple(bb.get("contrique_layers", (3, 4, 6, 3))),
         clip_layers=int(bb.get("clip_layers", 12)),
         clip_width=int(bb.get("clip_width", 768)),
@@ -126,6 +130,7 @@ class KSVQE(nn.Module):
             anchor_size=cfg.anchor_size,
             layers=cfg.contrique_layers,
             dtype=self.dtype,
+            fold_bn=cfg.contrique_fold_bn,
             name="distortion_tool",
         )
         self.dist_adapter = AdapterMLP(128, dtype=self.dtype, name="dist_adapter")

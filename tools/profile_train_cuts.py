@@ -50,9 +50,11 @@ def main():
          "CLIP_location": 8, "cls_use": True, "tuning_stage": 1,
          "a1": 1, "a2": 2, "checkpoint": remat,
          "use_pallas": os.environ.get("KVQ_PALLAS", "1") == "1",
+         "contrique_fold_bn": os.environ.get("KVQ_FOLD", "1") == "1",
          "s2d_input": s2d}
     )
-    print(f"s2d_input={s2d} remat={remat}", flush=True)
+    print(f"s2d_input={s2d} remat={remat} "
+          f"fold={cfg.contrique_fold_bn}", flush=True)
     model = KSVQE(config=cfg, dtype=dt)
     variables = jax.jit(
         lambda: model.init(
