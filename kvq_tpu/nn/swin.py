@@ -243,7 +243,87 @@ def fragment_gate(
 # modules
 
 
+@lru_cache(maxsize=None)
+def _axis_offset_onehots(window: tuple[int, int, int]):
+    """Per-axis one-hot tensors M[a, b, r] = [a - b + w - 1 == r] — the
+    separable structure of the relative-position index."""
+    outs = []
+    for w in window:
+        m = np.zeros((w, w, 2 * w - 1), np.float32)
+        for a in range(w):
+            for b in range(w):
+                m[a, b, a - b + w - 1] = 1.0
+        outs.append(m)
+    return tuple(outs)
+
+
+def _bias_table_grad(dp, window):
+    """dtable[t, h] = sum over {(i, j): rpi[i, j] == t} of dp[h, i, j],
+    computed as three SMALL dense contractions over the separable axis
+    offsets instead of an XLA scatter-add.  The scatter form serialized
+    ~153k duplicate-index updates per (head, block) and measured
+    ~22.6 ms of the KSVQE train step (tools/profile_trunk_train.py with
+    tables stop-gradiented); this form is a few MMACs on the MXU."""
+    import jax.numpy as jnp_
+
+    wd, wh, ww = window
+    hn = dp.shape[0]
+    Md, Mh, Mw = (jnp_.asarray(m) for m in _axis_offset_onehots(window))
+    X = dp.reshape(hn, wd, wh, ww, wd, wh, ww)
+    t = jnp_.einsum("hdxyevw,dea->haxyvw", X, Md)   # d1 x d2 -> rd
+    t = jnp_.einsum("haxyvw,xvb->habyw", t, Mh)     # h1 x h2 -> rh
+    t = jnp_.einsum("habyw,ywc->habc", t, Mw)       # w1 x w2 -> rw
+    # (h, 2wd-1, 2wh-1, 2ww-1) -> (table_len, h): index layout matches
+    # relative_position_index (rd-major, then rh, then rw)
+    return t.reshape(hn, -1).T
+
+
+def _expand_bias_planes_gather(table, window, n):
+    rpi = relative_position_index(window)[:n, :n]
+    planes = jnp.asarray(table, jnp.float32)[rpi.reshape(-1)]
+    return planes.reshape(n, n, table.shape[-1]).transpose(2, 0, 1)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _expand_bias_planes_cv(table, window, n):
+    return _expand_bias_planes_gather(table, window, n)
+
+
+def _ebp_fwd(table, window, n):
+    # residual: zero-size carrier of the table's dtype (residuals must be
+    # JAX types; the cotangent has to match the primal dtype)
+    return (
+        _expand_bias_planes_gather(table, window, n),
+        jnp.zeros((0,), table.dtype),
+    )
+
+
+def _ebp_bwd(window, n, res, dp):
+    return (_bias_table_grad(dp, window).astype(res.dtype),)
+
+
+_expand_bias_planes_cv.defvjp(_ebp_fwd, _ebp_bwd)
+
+
+def expand_bias_planes(table, table_window, n):
+    """(table_len, h) bias table -> (h, n, n) per-window planes via the
+    relative-position gather (reference swin_backbone.py:264-266, incl.
+    the [:N, :N] clamp-slice quirk).  When the slice is the identity
+    (n == prod(table_window) — every production stage) the backward runs
+    the separable matmul contraction instead of XLA's scatter-add; the
+    sliced case keeps autodiff's scatter (exotic clamped geometries
+    only)."""
+    wd, wh, ww = table_window
+    if n == wd * wh * ww:
+        return _expand_bias_planes_cv(table, tuple(table_window), n)
+    return _expand_bias_planes_gather(table, table_window, n)
+
+
 class WindowAttention3D(nn.Module):
+
     """W-MSA over flattened windows with dual position-bias tables.
 
     ``table_window`` sizes the learned tables (config window); the actual
@@ -275,14 +355,14 @@ class WindowAttention3D(nn.Module):
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
 
-        rpi = relative_position_index(self.table_window)[:N, :N]  # quirk: slice
         rel_table = self.param(
             "relative_position_bias_table",
             trunc_normal_init(0.02),
             (table_len, h),
         )
-        rel_bias = rel_table[rpi.reshape(-1)].reshape(N, N, h)
-        rel_bias = rel_bias.transpose(2, 0, 1)  # (h, N, N) float32
+        # includes the reference's [:N, :N] clamp-slice quirk; backward
+        # is a separable matmul contraction, not a scatter
+        rel_bias = expand_bias_planes(rel_table, self.table_window, N)
 
         frag_planes = None
         if self.frag_bias and (fgate is not None or geometry is not None):
@@ -291,8 +371,9 @@ class WindowAttention3D(nn.Module):
                 trunc_normal_init(0.02),
                 (table_len, h),
             )
-            frag_planes = frag_table[rpi.reshape(-1)].reshape(N, N, h)
-            frag_planes = frag_planes.transpose(2, 0, 1)
+            frag_planes = expand_bias_planes(
+                frag_table, self.table_window, N
+            )
 
         if geometry is not None and not train:
             from ..ops.window_attention import flash_window_attention_packed
@@ -443,13 +524,14 @@ class SwinBlock3D(nn.Module):
         p = self.variables["params"]
         ap = p["attn"]
 
-        rpi = relative_position_index(self.window_size)[:N, :N]
-        rel = jnp.asarray(ap["relative_position_bias_table"], jnp.float32)
-        rel_bias = rel[rpi.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+        rel_bias = expand_bias_planes(
+            ap["relative_position_bias_table"], self.window_size, N
+        )
         frag_bias = None
         if self.frag_bias:
-            ft = jnp.asarray(ap["fragment_position_bias_table"], jnp.float32)
-            frag_bias = ft[rpi.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+            frag_bias = expand_bias_planes(
+                ap["fragment_position_bias_table"], self.window_size, N
+            )
 
         dt = self.dtype
         params = {

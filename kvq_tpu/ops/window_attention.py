@@ -2019,8 +2019,11 @@ def _block_train_bwd_impl(geo, scale, interpret, x, params, rel, frag,
             + 2 * n_planes * h * N * N * 4,
             transcendentals=2 * BW * h * N * N + BW * N * hidden,
         ),
+        # 112 MB, not the 100 MB the other kernels use: the stage-2 bwd
+        # stack measures ~102-107 MB depending on the surrounding graph
+        # (v5e VMEM is 128 MB; Mosaic still rejects unplaceable stacks)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=112 * 1024 * 1024
         ),
         interpret=interpret,
     )(*args)

@@ -212,3 +212,33 @@ def test_train_fwd_vmem_gate_routes_xla(monkeypatch):
             lambda p, xx: blk.apply({"params": p}, xx, True),
             vshapes["params"], xs,
         )
+
+
+def test_expand_bias_planes_grad_matches_scatter():
+    """The separable matmul backward of expand_bias_planes must equal
+    autodiff's scatter-add through the plain gather — for the full
+    window and (via the fallback) the reference's [:N, :N] clamp slice."""
+    window = (2, 7, 7)
+    n_full = 2 * 7 * 7
+    table_len = (2 * 2 - 1) * (2 * 7 - 1) * (2 * 7 - 1)
+    h = 3
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(table_len, h)), jnp.float32)
+    for n in (n_full, 60):  # full window + a clamp-slice case
+        cot = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+
+        def loss_cv(t):
+            return jnp.sum(S.expand_bias_planes(t, window, n) * cot)
+
+        def loss_ref(t):
+            rpi = S.relative_position_index(window)[:n, :n]
+            planes = t[rpi.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+            return jnp.sum(planes * cot)
+
+        v1, g1 = jax.value_and_grad(loss_cv)(table)
+        v2, g2 = jax.value_and_grad(loss_ref)(table)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5,
+            err_msg=f"n={n}",
+        )
