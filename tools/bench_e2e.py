@@ -185,8 +185,17 @@ def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
             items.append(ds[i])
             item_s += time.time() - t0
         batch = collate(items[:eval_batch] or items)
+        # split host prep (numpy conversion under this box's CPU steal)
+        # from the device transfer — lumped, the first r5 run reported an
+        # uninterpretable 14.5 s "h2d" (tunnel transfer + host numpy +
+        # steal in one bucket)
         t0 = time.time()
-        ab = array_batch(batch)
+        host = array_batch(batch, to_device=False)
+        prep_s = time.time() - t0
+        t0 = time.time()
+        import jax as _jax
+
+        ab = _jax.device_put(host)
         _np.asarray(next(iter(
             v for v in ab.values() if hasattr(v, "dtype")
         )))  # force the transfer
@@ -202,6 +211,7 @@ def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
         phases = {
             "decode_ms_per_video": round(dec_s / k * 1e3, 1),
             "views_ms_per_video": round(max(item_s - dec_s, 0.0) / k * 1e3, 1),
+            "batch_prep_ms_per_video": round(prep_s / nb * 1e3, 1),
             "h2d_ms_per_video": round(h2d_s / nb * 1e3, 1),
             "device_ms_per_video_incl_dispatch": round(
                 dev_best / nb * 1e3, 1
@@ -223,8 +233,10 @@ def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
             "first_pass_s": round(warm_s, 1),
             "steady_pass_s": round(e2e_s, 1),
             "phases": phases,
-            "note": "host-decode-bound on this 1-vCPU box; decode "
-                    "parallelism scales with workers on real hosts",
+            "note": "host-bound on this dev box: decode+views pay 1-vCPU "
+                    "CPU steal and H2D crosses the remote-execution tunnel "
+                    "at ~10-30 MB/s (PCIe-attached on real TPU hosts); "
+                    "decode parallelism scales with workers",
         },
     }
 
