@@ -15,13 +15,16 @@ uses ``lax.scan`` over full optimizer steps so the in-jit loop holds only
 one step's activations (an unrolled loop OOMs HBM).
 
 The model is initialized ONCE and the variables are reused across the
-batch-size sweep (params are B-independent).  Init is HOST-SIDE
-(``jax.eval_shape`` + numpy + one device_put): the r3/r4 driver records'
-300+ s ``init_s`` were XLA costs hiding inside a jitted init — r3 a
-closure-captured ~45 MB batch re-uploaded as an HLO constant every run,
-r4 the full eval forward cold-compiling on the driver's empty compile
-cache (the dev sessions' warm /tmp cache masked it).  Host init pays
-neither; the cold compile now shows up in the first ``compile_s``.
+batch-size sweep (params are B-independent).  Init generates synthetic
+weights ON DEVICE (``jax.eval_shape`` for the tree, one threefry draw
+sliced per leaf): the r3/r4 driver records' 300+ s ``init_s`` were XLA
+costs hiding inside a jitted ``model.init`` — r3 a closure-captured
+~45 MB batch re-uploaded as an HLO constant every run, r4 the full eval
+forward cold-compiling on the driver's empty compile cache (dev
+sessions' warm /tmp cache masked it) — and a host-side materialization
+still paid 53-81 s shipping ~640 MB through the tunnel.  The generator
+compiles cold + runs in ~10 s; the model's cold compile shows up in the
+first ``compile_s``.
 
 Output contract: the headline JSON line is printed IMMEDIATELY after the
 train measurement, before the auxiliary e2e-serving phase; e2e then runs
@@ -137,19 +140,22 @@ def make_batch(B, T, jnp, s2d=True, seed=0):
 
 
 def init_variables(model, batch):
-    """Host-side init: no XLA compile, no device compute (VERDICT r4 #4).
+    """Cheap synthetic init: no model-forward compile, no bulk transfer
+    (VERDICT r4 #4).
 
     ``jax.eval_shape`` traces init abstractly for the exact variable tree
-    (shapes + dtypes); leaves are materialized with numpy by name
-    (scale/var -> 1, bias/mean -> 0, else N(0, 0.02)) and device_put once.
-    Bench weights only need sane numeric scale — every parity/accuracy
-    test initializes for real.  Why: the r4 driver record's init_s=339.1
-    was the full eval forward cold-compiling inside the jitted init (the
-    driver host starts with an empty /tmp compile cache, unlike the dev
-    sessions where the persistent cache made the same init look <1 s);
-    the host path cannot pay XLA at all, so the cold-compile cost now
-    lands where it belongs — in the first measured compile_s."""
+    (shapes + dtypes); leaves are then generated on device by leaf name
+    (scale/var -> 1, bias/mean -> 0, else N(0, 0.02)) from one threefry
+    draw.  Bench weights only need sane numeric scale — every parity/
+    accuracy test initializes for real.  Why: the r4 driver record's
+    init_s=339.1 was the full eval forward cold-compiling inside the
+    jitted ``model.init`` (the driver host starts with an empty /tmp
+    compile cache; dev sessions' warm cache made the same init look
+    <1 s).  The generator program compiles in seconds (no model
+    forward in it), so the model's cold-compile cost now lands where it
+    belongs — in the first measured compile_s."""
     import jax
+    import jax.numpy as jnp
 
     t0 = time.time()
     shapes = jax.eval_shape(
@@ -160,24 +166,41 @@ def init_variables(model, batch):
         ),
         batch,
     )
-    rng = np.random.default_rng(0)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    total = sum(int(np.prod(l.shape)) for _, l in leaves)
 
-    def materialize(path, leaf):
-        last = path[-1]
-        name = str(getattr(last, "key", getattr(last, "name", last)))
-        if name in ("scale", "var"):
-            return np.ones(leaf.shape, leaf.dtype)
-        if name in ("bias", "mean"):
-            return np.zeros(leaf.shape, leaf.dtype)
-        return (rng.standard_normal(leaf.shape) * 0.02).astype(leaf.dtype)
+    # Materialize ON DEVICE: one threefry draw sliced per leaf.  A host
+    # materialization + device_put of the same ~640 MB tree measured
+    # 53-81 s through the remote-execution tunnel (~10-30 MB/s); this
+    # program compiles cold + runs in ~10 s and transfers nothing.
+    def gen():
+        flat = jax.random.normal(
+            jax.random.key(0), (total,), jnp.float32
+        ) * 0.02
+        outs = []
+        off = 0
+        for path, leaf in leaves:
+            last = path[-1]
+            name = str(getattr(last, "key", getattr(last, "name", last)))
+            n = int(np.prod(leaf.shape))
+            if name in ("scale", "var"):
+                outs.append(jnp.ones(leaf.shape, leaf.dtype))
+            elif name in ("bias", "mean"):
+                outs.append(jnp.zeros(leaf.shape, leaf.dtype))
+            else:
+                outs.append(
+                    jax.lax.dynamic_slice(flat, (off,), (n,))
+                    .reshape(leaf.shape).astype(leaf.dtype)
+                )
+            off += n
+        return jax.tree_util.tree_unflatten(treedef, outs)
 
-    host_tree = jax.tree_util.tree_map_with_path(materialize, shapes)
-    variables = jax.device_put(host_tree)
+    variables = jax.jit(gen)()
     _ = float(
         np.asarray(
             jax.tree_util.tree_leaves(variables["params"])[0]
         ).reshape(-1)[0]
-    )  # force the transfer
+    )  # force execution
     return variables, time.time() - t0
 
 
