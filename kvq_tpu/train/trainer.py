@@ -49,16 +49,34 @@ ARRAY_BATCH_KEYS = (
     "sample_index",
 )
 
+# Image-view fields a bf16-compute model casts to its dtype as its FIRST
+# op — shipping them to the device pre-cast is bitwise-identical and
+# halves the H2D bytes (the fragment alone is ~95 MB/eval-batch at KVQ
+# shapes).  ``feat`` stays f32: SimpleVQA concatenates it into an f32
+# feature tensor, so a pre-cast would lose precision the model keeps.
+VIEW_CAST_KEYS = (
+    "fragment", "resize_video", "simpleVQA", "technical", "aesthetic",
+)
 
-def array_batch(batch: dict, to_device: bool = True) -> dict:
+
+def array_batch(batch: dict, to_device: bool = True,
+                view_dtype=None) -> dict:
     """Strip a collated batch to the jit-traceable array fields.
 
     ``to_device=False`` keeps numpy arrays — mesh paths hand the batch to
     ``shard_batch`` which performs the (possibly multi-host) placement
     itself; a premature single-device jnp.asarray would just add a
-    device round-trip."""
+    device round-trip.  ``view_dtype``: pre-cast the image views on the
+    host (see VIEW_CAST_KEYS)."""
     conv = jnp.asarray if to_device else np.asarray
-    return {k: conv(batch[k]) for k in ARRAY_BATCH_KEYS if k in batch}
+
+    def one(k):
+        v = batch[k]
+        if view_dtype is not None and k in VIEW_CAST_KEYS:
+            return conv(np.asarray(v).astype(view_dtype))
+        return conv(v)
+
+    return {k: one(k) for k in ARRAY_BATCH_KEYS if k in batch}
 
 
 def ser_to_state(opt_state):
@@ -120,6 +138,13 @@ class Trainer:
             bn_axis_name="data" if mesh is not None else None,
         )
         self.ema_decay = float(config.get("ema_decay", 0.999))
+        # pre-cast image views on the host when the model computes in
+        # bf16 (bitwise-identical — the model casts them first thing —
+        # and half the H2D bytes); "h2d_dtype": "float32" opts out
+        h2d = config.get(
+            "h2d_dtype", config.get("model", {}).get("compute_dtype")
+        )
+        self._view_dtype = jnp.bfloat16 if h2d == "bfloat16" else None
         self.use_ema = bool(config.get("ema", True))
         self.best = (-1.0, -1.0, -1.0, 1999.0)
         self.best_ema = (-1.0, -1.0, -1.0, 1999.0)
@@ -194,7 +219,7 @@ class Trainer:
         # (bench.py module docstring).  Jitted-as-argument: one compile.
         variables = jax.jit(
             lambda b: self.model.init(jax.random.key(seed), b, train=False)
-        )(array_batch(sample_batch))
+        )(array_batch(sample_batch, view_dtype=self._view_dtype))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
@@ -410,7 +435,8 @@ class Trainer:
             # applied to the mesh train input)
             it = shard_prefetch(
                 self.mesh,
-                (array_batch(b, to_device=False)
+                (array_batch(b, to_device=False,
+                             view_dtype=self._view_dtype)
                  for b in self.train_loader.epoch(epoch)),
             )
             for sb in it:
@@ -424,7 +450,8 @@ class Trainer:
         for batch in it:
             rng, step_rng = jax.random.split(rng)
             self.state, aux = self._train_step(
-                self.state, array_batch(batch), step_rng
+                self.state,
+                array_batch(batch, view_dtype=self._view_dtype), step_rng
             )
             last_aux = aux
         return {k: float(v) for k, v in last_aux.items()}
@@ -461,7 +488,8 @@ class Trainer:
         eb = self.eval_batch_size()
         batch = pad_batch_rows(batch, eb)
         rb = self._reshape_for_clips(batch)
-        ab = array_batch(rb, to_device=self.mesh is None)
+        ab = array_batch(rb, to_device=self.mesh is None,
+                         view_dtype=self._view_dtype)
         if self.mesh is not None:
             from ..parallel import sharding as shd
             from ..parallel import steps as psteps

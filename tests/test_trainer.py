@@ -330,3 +330,53 @@ def test_load_path_merges_params_and_batch_stats(tmp_path):
     leaf_s = jax.tree_util.tree_leaves(t1.state.batch_stats)[0]
     assert float(np.ravel(leaf_p)[0]) == 0.125
     assert float(np.ravel(leaf_s)[0]) == 0.25
+
+
+def test_bf16_h2d_views_identical_scores(tmp_path):
+    """Pre-casting image views to bf16 on the host (h2d_dtype) must give
+    BITWISE-identical eval scores to shipping f32 — the bf16-compute
+    model's first op on each view is the same cast (trainer.py
+    VIEW_CAST_KEYS; halves H2D bytes on the serving path)."""
+    import jax.numpy as jnp
+
+    from kvq_tpu.data.datasets import make_synthetic_opt
+
+    st = {"technical": dict(
+        fragments_h=5, fragments_w=5, fsize_h=8, fsize_w=8,
+        size_h=32, size_w=32, aligned=4, clip_len=8, frame_interval=2,
+        num_clips=1,
+    )}
+    val_opt = make_synthetic_opt(
+        n_videos=4, n_frames=24, height=72, width=96, sample_types=st,
+        phase="test",
+    )
+    base = {
+        "name": "h2d", "num_epochs": 1, "warmup_epochs": 0, "ema": False,
+        "save_model": False, "batch_size": 2, "num_workers": 0, "seed": 0,
+        "load_path": None,
+        "data": {"val": {"type": "KVQDataset", "args": val_opt}},
+        "model": {"type": "KSVQE", "compute_dtype": "bfloat16", "args": {
+            "KSVQE": {"backbone": {
+                "num_samples": 2, "sample_type": "topkpertubation",
+                "CLIP_location": 1, "cls_use": True, "tuning_stage": 1,
+                "a1": 1, "a2": 2, "checkpoint": False, "use_pallas": False,
+                "anchor_size": 8, "region_k": 9, "embed_dim": 16,
+                "depths": [1, 1], "num_heads": [2, 2],
+                "window_size": [2, 7, 7], "contrique_layers": [1, 1, 1, 1],
+                "clip_layers": 2, "clip_width": 64, "clip_heads": 4,
+            }, "head": {"hidden_channels": 16}}}},
+        "optimizer": {"lr": 3e-5, "wd": 0.05},
+    }
+    scores = {}
+    for h2d in ("bfloat16", "float32"):
+        cfg = dict(base, h2d_dtype=h2d)
+        tr = Trainer(cfg, workdir=str(tmp_path / h2d))
+        assert (tr._view_dtype is None) == (h2d == "float32")
+        tr.build_datasets()
+        sample = next(tr.val_loader.epoch(0))
+        tr.build_models(sample, seed=0)
+        preds = []
+        for batch, n, (p, gidx, glab) in tr._eval_batches(tr.state.params):
+            preds.extend(np.asarray(p[:n], np.float64).tolist())
+        scores[h2d] = preds
+    np.testing.assert_array_equal(scores["bfloat16"], scores["float32"])
