@@ -190,7 +190,10 @@ def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
         # uninterpretable 14.5 s "h2d" (tunnel transfer + host numpy +
         # steal in one bucket)
         t0 = time.time()
-        host = array_batch(batch, to_device=False)
+        host = array_batch(
+            batch, to_device=False,
+            view_dtype=getattr(tr, "_view_dtype", None),
+        )
         prep_s = time.time() - t0
         t0 = time.time()
         import jax as _jax
