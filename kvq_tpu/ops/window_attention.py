@@ -1725,10 +1725,11 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
                 rinv = 1.0 / jnp.maximum(
                     jnp.sum(p, axis=-1, keepdims=True), 1e-37
                 )
-                pn = p * rinv  # normalized probabilities, f32
-                pnd = pn.astype(dt)
+                pnd = (p * rinv).astype(dt)  # normalized probs
                 o_h = mm(pnd, v, ((1,), (0,)))  # (N, hd) f32
-                heads.append((qs, k, v, pn, pnd, rinv, o_h))
+                # store UNnormalized p: the grad loop's saturation test
+                # compares it against the literal _CLAMP_P (see below)
+                heads.append((qs, k, v, p, pnd, rinv, o_h))
 
             att_cat = jnp.concatenate(
                 [o.astype(dt) for *_x, o in heads], axis=-1
@@ -1773,22 +1774,27 @@ def _make_block_train_bwd_kernel(geo: WindowGeometry, scale: float,
 
             dqs, dks, dvs = [], [], []
             for hh in range(h):
-                qs, k, v, pn, pnd, rinv, o_h = heads[hh]
+                qs, k, v, p, pnd, rinv, o_h = heads[hh]
                 dao_h = dao[:, hh * hd:(hh + 1) * hd]
                 dao_d = dao_h.astype(dt)
                 dsum = jnp.sum(dao_h * o_h, axis=-1, keepdims=True)
                 dvs.append(mm(pnd, dao_d, ((0,), (0,))).astype(dt))
                 dpn = mm(dao_d, v, ((1,), (1,)))  # (N, N) f32
-                ds = pn * (dpn - dsum)
-                # d/ds min(exp(s), K) is 0 on saturated entries; they are
-                # detected as p == _CLAMP_P, i.e. pn == fl(_CLAMP_P*rinv)
-                # — the identical f32 product, so the comparison is exact
-                # on every backend (p-space power-of-two clamp, see
-                # _CLAMP_P).  Keeps saturated-logit gradients from
-                # silently corrupting training; costs no extra VMEM (an
-                # s-derived mask carried to this loop blew the stage-2
-                # bwd kernel's scoped-VMEM stack by ~4 MB).
-                ds = jnp.where(pn < _CLAMP_P * rinv, ds, 0.0)
+                # d/ds min(exp(s), K) is 0 on saturated entries, detected
+                # as the STORED p equalling the LITERAL _CLAMP_P — no
+                # arithmetic in the comparison, so no rounding/precision
+                # subtlety can flip it.  The r4 scheme compared pn
+                # against exp(C)*rinv and was dead code on TPU (the
+                # constant-folded exp differs from the VPU exp by
+                # ~5.7e-6); an intermediate pn-vs-_CLAMP_P*rinv form
+                # relied on the two products rounding identically, which
+                # --xla_allow_excess_precision does not guarantee.
+                # Verified on the real chip by
+                # tools/check_kernels_on_chip.py (saturated-logit case).
+                # Costs no extra VMEM (p replaces pn in the tuple; an
+                # s-derived mask blew the stage-2 bwd kernel's stack).
+                ds = jnp.where(p < _CLAMP_P, (p * rinv) * (dpn - dsum),
+                               0.0)
                 if use_frag:
                     gate = gcache_ref[slot]
                     drel_ref[hh] += ds * gate
