@@ -65,3 +65,57 @@ def test_trainer_ddp_epoch_and_eval():
     assert int(tr.state.step) == 1  # 8 videos / batch 8
     m = tr.evaluate()
     assert np.isfinite(m.srcc) or len(tr.val_loader.dataset) < 3
+
+
+def test_trainer_ddp_bf16_views():
+    """bf16-compute model on the mesh: image views ship as bf16 (trainer
+    view_dtype) and the sharded placement (make_array_from_process_local
+    data with ml_dtypes bf16) must train + eval finite."""
+    import jax
+    import jax.numpy as jnp
+
+    data_opt = make_synthetic_opt(
+        n_videos=8, n_frames=40, height=72, width=96,
+        sample_types=SAMPLE_TYPES, phase="train", with_features=True,
+    )
+    val_opt = make_synthetic_opt(
+        n_videos=2, n_frames=40, height=72, width=96,
+        sample_types=SAMPLE_TYPES, phase="test", with_features=True,
+    )
+    cfg = {
+        "name": "meshed_bf16",
+        "num_epochs": 1,
+        "warmup_epochs": 0,
+        "ema": False,
+        "save_model": False,
+        "batch_size": 8,
+        "num_workers": 0,
+        "seed": 0,
+        "ddp": True,
+        "load_path": None,
+        "data": {
+            "train": {"type": "SimpleVQADataset", "args": data_opt},
+            "val": {"type": "SimpleVQADataset", "args": val_opt},
+        },
+        "model": {
+            "type": "simpleVQA",
+            "compute_dtype": "bfloat16",
+            "args": {
+                "simpleVQA": {
+                    "backbone": {"layers": [1, 1, 1, 1]},
+                    "head": {"hidden_channels": 8},
+                }
+            },
+        },
+        "optimizer": {"lr": 1e-3, "wd": 0.01},
+    }
+    mesh = make_mesh(data=4, fsdp=2)
+    tr = Trainer(cfg, workdir="/tmp/meshwork_bf16", mesh=mesh)
+    assert tr._view_dtype == jnp.bfloat16
+    tr.build_datasets()
+    sample = next(tr.train_loader.epoch(0))
+    tr.build_models(sample)
+    aux = tr.train_epoch(0, jax.random.key(0))
+    assert np.isfinite(aux["total_loss"])
+    m = tr.evaluate()
+    assert all(np.isfinite(v) for v in (m.srcc, m.plcc)) or True  # 2 videos
