@@ -191,6 +191,79 @@ def main():
     check("saturated dx", gk[0], gg[0], 1e-2)
     check("saturated drel", gk[1], gg[1], 1e-2)
 
+    print("[4] flash window attention (packed eval + train custom_vjp)",
+          flush=True)
+    from kvq_tpu.ops.window_attention import (
+        flash_window_attention_packed,
+        window_attention_train,
+    )
+
+    qkv = rng.normal(size=(BW, N, 3 * C)).astype(np.float32)
+    q5 = jnp.asarray(qkv[:, :, :C].reshape(BW, N, h, hd).transpose(0, 2, 1, 3))
+    k5 = jnp.asarray(
+        qkv[:, :, C:2 * C].reshape(BW, N, h, hd).transpose(0, 2, 1, 3))
+    v5 = jnp.asarray(
+        qkv[:, :, 2 * C:].reshape(BW, N, h, hd).transpose(0, 2, 1, 3))
+
+    def attn_golden(q5, k5, v5, rel, frag):
+        s = jnp.einsum("whnd,whmd->whnm", q5 * scale, k5)
+        bias = rel[None] * gate[:, None] + frag[None] * (1 - gate[:, None])
+        s = s + jnp.tile(bias, (BW // nW, 1, 1, 1))
+        s = s + jnp.tile(mask[:, None], (BW // nW, 1, 1, 1))
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("whnm,whmd->whnd", p, v5)
+
+    out_g = jax.jit(attn_golden)(q5, k5, v5, rel, frag)
+    packed = jnp.asarray(
+        np.swapaxes(qkv.reshape(BW, N, 3 * h, hd), 1, 2))
+    out_k = jax.jit(
+        lambda pk, r, f: flash_window_attention_packed(
+            pk, h, r, f, geo, scale=scale)
+    )(packed, rel, frag)
+    check("packed eval attention", out_k.reshape(out_g.shape), out_g, 5e-3)
+
+    cot5 = jnp.asarray(rng.normal(size=out_g.shape), jnp.float32)
+
+    def loss_tr(q5, k5, v5, rel, frag):
+        out = window_attention_train(q5, k5, v5, rel, frag, geo, scale=scale)
+        return jnp.sum(out * cot5)
+
+    def loss_ag(q5, k5, v5, rel, frag):
+        return jnp.sum(attn_golden(q5, k5, v5, rel, frag) * cot5)
+
+    vk, gk = jax.jit(jax.value_and_grad(loss_tr, argnums=(0, 1, 2, 3, 4)))(
+        q5, k5, v5, rel, frag)
+    vg, gg = jax.jit(jax.value_and_grad(loss_ag, argnums=(0, 1, 2, 3, 4)))(
+        q5, k5, v5, rel, frag)
+    check("flash-train value", vk[None], vg[None], 2e-3)
+    for nm, a, b in zip(("dq", "dk", "dv", "drel", "dfrag"), gk, gg):
+        check(f"flash-train {nm}", a, b, 1e-2)
+
+    print("[5] no-bias CDM flash (channel layout)", flush=True)
+    from kvq_tpu.ops.window_attention import flash_attention_nobias_cl
+
+    Bq, Nq, Cc, hc = 4, 196, 64, 4
+    qc = jnp.asarray(rng.normal(size=(Bq, Nq, Cc)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(Bq, Nq, Cc)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(Bq, Nq, Cc)), jnp.float32)
+    sc = Cc ** -0.5
+
+    def cdm_golden(qc, kc, vc):
+        hdc = Cc // hc
+        def heads(t):
+            return t.reshape(Bq, -1, hc, hdc).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(qc) * sc, heads(kc))
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, heads(vc))
+        return o.transpose(0, 2, 1, 3).reshape(Bq, Nq, Cc)
+
+    out_k = jax.jit(
+        lambda q, k, v: flash_attention_nobias_cl(
+            q, k, v, num_heads=hc, scale=sc)
+    )(qc, kc, vc)
+    out_g = jax.jit(cdm_golden)(qc, kc, vc)
+    check("cdm nobias out", out_k, out_g, 5e-3)
+
     if failures:
         print(f"FAILED: {failures}", flush=True)
         return 1
