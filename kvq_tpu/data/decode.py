@@ -111,12 +111,16 @@ class OpenCVVideoSource:
     long video — then grab-scans through the dense request window
     (``grab()`` = bitstream decode only for unrequested frames, retrieve +
     cache for requested ones), early-stopping at the highest requested
-    index.  Seek accuracy is codec-dependent in cv2, so the first seek on
-    each container is verified against the capture's own position
-    bookkeeping and the source falls back to pure scanning when the
-    container misreports (``seek='never'`` forces that; ``'always'``
-    forces seeking for tests).  Frame-exactness of the seek path vs the
-    scan path is covered by tests/test_decode_seek.py.
+    index.  Seek accuracy is codec-dependent in cv2, so ``'auto'``
+    restricts seeking to containers that report a sane metadata frame
+    count (the misreporting VFR/stream containers are the ones with
+    untrustworthy POS_FRAMES), and a read failure after any seek —
+    e.g. an overcounting header sent the seek past true EOF — disables
+    seeking for the source and redoes the request as a pure scan
+    (``seek='never'`` forces scanning; ``'always'`` forces seeking for
+    tests).  Frame-exactness of the seek path vs the scan path and the
+    overcounted-container fallback are covered by
+    tests/test_decode_seek.py.
 
     Short videos are pad-repeated with the last frame to >130 frames to
     match reference fusion_datasets.py:413-415 when ``pad_short`` is set.
@@ -151,7 +155,6 @@ class OpenCVVideoSource:
         self._cache: dict[int, np.ndarray] = {}
         assert seek in ("auto", "never", "always"), seek
         self._seek = seek
-        self._seek_verified = seek == "always"
 
     def __del__(self):  # pragma: no cover - destructor best-effort
         if getattr(self, "_cap", None) is not None:
@@ -187,6 +190,7 @@ class OpenCVVideoSource:
         want = set(missing)
         stop = missing[-1]
         nxt = 0  # index of the first not-yet-passed entry of `missing`
+        seeked = False
         while self._pos <= stop:
             if self._seek_allowed():
                 while nxt < len(missing) and missing[nxt] < self._pos:
@@ -195,6 +199,7 @@ class OpenCVVideoSource:
                         and missing[nxt] - self._pos >= _SEEK_MIN_SKIP):
                     self._cap.set(cv2.CAP_PROP_POS_FRAMES, missing[nxt])
                     self._pos = missing[nxt]
+                    seeked = True
             if self._pos in want:
                 ret, frame = self._cap.read()
                 if not ret:
@@ -205,6 +210,18 @@ class OpenCVVideoSource:
             self._pos += 1
         else:
             return
+        if seeked:
+            # EOF after a seek: self._pos is the (never reached) seek
+            # target, NOT the true container length — the overcounting-
+            # container recovery below would corrupt _n_raw and fail to
+            # cache the real last frame.  Disable seeking for this source
+            # and redo the request as a pure scan, which handles the
+            # clamp correctly (tests/test_decode_seek.py covers this).
+            self._cap.release()
+            self._cap = None
+            self._pos = 0
+            self._seek = "never"
+            return self._ensure(needed)
         # EOF before the metadata frame count (overcounted header): the
         # true length is self._pos; make sure the real last frame is cached
         # so out-of-range indices clamp to it like the decode-all path did.

@@ -25,6 +25,7 @@ Replicated reference quirks (deliberate, for checkpoint parity):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import lru_cache, reduce
 from operator import mul
 
@@ -264,15 +265,13 @@ def _bias_table_grad(dp, window):
     ~153k duplicate-index updates per (head, block) and measured
     ~22.6 ms of the KSVQE train step (tools/profile_trunk_train.py with
     tables stop-gradiented); this form is a few MMACs on the MXU."""
-    import jax.numpy as jnp_
-
     wd, wh, ww = window
     hn = dp.shape[0]
-    Md, Mh, Mw = (jnp_.asarray(m) for m in _axis_offset_onehots(window))
+    Md, Mh, Mw = (jnp.asarray(m) for m in _axis_offset_onehots(window))
     X = dp.reshape(hn, wd, wh, ww, wd, wh, ww)
-    t = jnp_.einsum("hdxyevw,dea->haxyvw", X, Md)   # d1 x d2 -> rd
-    t = jnp_.einsum("haxyvw,xvb->habyw", t, Mh)     # h1 x h2 -> rh
-    t = jnp_.einsum("habyw,ywc->habc", t, Mw)       # w1 x w2 -> rw
+    t = jnp.einsum("hdxyevw,dea->haxyvw", X, Md)   # d1 x d2 -> rd
+    t = jnp.einsum("haxyvw,xvb->habyw", t, Mh)     # h1 x h2 -> rh
+    t = jnp.einsum("habyw,ywc->habc", t, Mw)       # w1 x w2 -> rw
     # (h, 2wd-1, 2wh-1, 2ww-1) -> (table_len, h): index layout matches
     # relative_position_index (rd-major, then rh, then rw)
     return t.reshape(hn, -1).T
@@ -284,10 +283,7 @@ def _expand_bias_planes_gather(table, window, n):
     return planes.reshape(n, n, table.shape[-1]).transpose(2, 0, 1)
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _expand_bias_planes_cv(table, window, n):
     return _expand_bias_planes_gather(table, window, n)
 

@@ -77,12 +77,14 @@ bool ensure_frames_locked(VideoHandle* h, const std::vector<int>& want_in) {
   int stop = want.back();
   size_t wi = 0;
   bool eof = false;
+  bool seeked = false;
   cv::Mat frame;
   while (h->pos <= stop) {
     while (wi < want.size() && want[wi] < h->pos) ++wi;
     if (h->seek_ok && wi < want.size() && want[wi] - h->pos >= kSeekMinSkip) {
       h->cap.set(cv::CAP_PROP_POS_FRAMES, want[wi]);
       h->pos = want[wi];
+      seeked = true;
     }
     bool needed = (wi < want.size() && want[wi] == h->pos);
     if (needed) {
@@ -95,6 +97,18 @@ bool ensure_frames_locked(VideoHandle* h, const std::vector<int>& want_in) {
       break;
     }
     h->pos++;
+  }
+  if (eof && seeked) {
+    // EOF after a seek: pos is the (never reached) seek target, not the
+    // true container length — an overcounting header sent the seek past
+    // EOF.  Disable seeking for this handle and redo the request as a
+    // pure scan, whose EOF recovery below handles the clamp correctly
+    // (mirrors data/decode.py).
+    h->cap.release();
+    h->cap_open = false;
+    h->pos = 0;
+    h->seek_ok = false;
+    return ensure_frames_locked(h, want_in);
   }
   if (eof) {
     // container metadata overcounted: true length is pos.  Cache the real

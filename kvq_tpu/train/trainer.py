@@ -140,11 +140,17 @@ class Trainer:
         self.ema_decay = float(config.get("ema_decay", 0.999))
         # pre-cast image views on the host when the model computes in
         # bf16 (bitwise-identical — the model casts them first thing —
-        # and half the H2D bytes); "h2d_dtype": "float32" opts out
-        h2d = config.get(
-            "h2d_dtype", config.get("model", {}).get("compute_dtype")
-        )
-        self._view_dtype = jnp.bfloat16 if h2d == "bfloat16" else None
+        # and half the H2D bytes); "h2d_dtype": "float32" opts out.
+        # Resolve the model dtype the way the model does (_dtype_of
+        # defaults to bf16 when model.compute_dtype is omitted).
+        from ..models.vqa_network import _dtype_of
+
+        h2d = config.get("h2d_dtype")
+        if h2d is None:
+            cast = _dtype_of(config.get("model")) == jnp.bfloat16
+        else:
+            cast = h2d == "bfloat16"
+        self._view_dtype = jnp.bfloat16 if cast else None
         self.use_ema = bool(config.get("ema", True))
         self.best = (-1.0, -1.0, -1.0, 1999.0)
         self.best_ema = (-1.0, -1.0, -1.0, 1999.0)

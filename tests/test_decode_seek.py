@@ -74,3 +74,24 @@ def test_native_runtime_seek_matches_python_scan(fixture_video):
             native.get_frames(np.asarray(req)),
             scan.get_frames(np.asarray(req)),
         )
+
+
+def test_seek_past_eof_falls_back_to_scan(fixture_video):
+    """Overcounting containers (VFR mp4 headers estimate duration*fps)
+    can send a seek past true EOF; the source must fall back to pure
+    scanning and clamp to the real last frame exactly like the scan
+    path — not corrupt _n_raw to the seek target and raise (r5
+    self-review finding).  Simulated by inflating the frame count on a
+    real container."""
+    seek = OpenCVVideoSource(fixture_video, seek="always")
+    scan = OpenCVVideoSource(fixture_video, seek="never")
+    # pretend the header overcounted: 300 real frames reported as 400
+    seek._n_raw = scan._n_raw = 400
+    req = np.asarray([10, 380])  # deep request -> seek jumps past EOF
+    out_scan = scan.get_frames(req)
+    out_seek = seek.get_frames(req)
+    np.testing.assert_array_equal(out_seek, out_scan)
+    # both recovered the true length and clamp index 380 to the last
+    # real frame
+    assert seek._n_raw == scan._n_raw == 300
+    assert seek._seek == "never"  # seeking disabled after the fallback

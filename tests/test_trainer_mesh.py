@@ -118,4 +118,6 @@ def test_trainer_ddp_bf16_views():
     aux = tr.train_epoch(0, jax.random.key(0))
     assert np.isfinite(aux["total_loss"])
     m = tr.evaluate()
-    assert all(np.isfinite(v) for v in (m.srcc, m.plcc)) or True  # 2 videos
+    # 2 val videos: correlations may be degenerate but must not be NaN
+    # from the bf16 sharded path itself
+    assert np.isfinite(m.rmse)

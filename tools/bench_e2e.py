@@ -199,9 +199,12 @@ def run_e2e(n_videos=8, workers=2, eval_batch=4, tiny=False, probe=True):
         import jax as _jax
 
         ab = _jax.device_put(host)
-        _np.asarray(next(iter(
-            v for v in ab.values() if hasattr(v, "dtype")
-        )))  # force the transfer
+        # fence EVERY leaf's transfer; block_until_ready does not
+        # synchronize through this tunnel — only readback does
+        # (docs/PERF.md methodology traps)
+        for v in ab.values():
+            if hasattr(v, "ndim") and getattr(v, "size", 0):
+                _np.asarray(v[(0,) * v.ndim])
         h2d_s = time.time() - t0
         params = tr.state.params
         dev_best = 1e9

@@ -30,6 +30,16 @@ def main():
 
     from kvq_tpu.nn import swin as S
 
+    if os.environ.get("KVQ_GLUE_ONLY") == "1":
+        # identity kernels: measures partition/reverse, rolls, DropPath,
+        # PatchMerging, and stage-3 XLA glue without the block math
+        import kvq_tpu.ops.window_attention as WA
+
+        WA.train_swin_block = (
+            lambda x, params, rel, frag, geo, dp1, dp2, **kw: x
+        )
+        print("glue-only: train_swin_block = identity", flush=True)
+
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_stages = int(os.environ.get("KVQ_STAGES", "4"))
     dt = jnp.bfloat16
