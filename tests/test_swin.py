@@ -214,17 +214,22 @@ def test_train_fwd_vmem_gate_routes_xla(monkeypatch):
         )
 
 
-def test_expand_bias_planes_grad_matches_scatter():
+@pytest.mark.parametrize(
+    "window", [(2, 7, 7), (8, 7, 7), (1, 3, 3), (3, 2, 4)]
+)
+def test_expand_bias_planes_grad_matches_scatter(window):
     """The separable matmul backward of expand_bias_planes must equal
-    autodiff's scatter-add through the plain gather — for the full
-    window and (via the fallback) the reference's [:N, :N] clamp slice."""
-    window = (2, 7, 7)
-    n_full = 2 * 7 * 7
-    table_len = (2 * 2 - 1) * (2 * 7 - 1) * (2 * 7 - 1)
+    autodiff's scatter-add through the plain gather — across window
+    shapes, for the full window and (via the fallback) the reference's
+    [:N, :N] clamp slice."""
+    n_full = window[0] * window[1] * window[2]
+    table_len = (2 * window[0] - 1) * (2 * window[1] - 1) * (
+        2 * window[2] - 1
+    )
     h = 3
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(size=(table_len, h)), jnp.float32)
-    for n in (n_full, 60):  # full window + a clamp-slice case
+    for n in (n_full, max(n_full - 11, 2)):  # full + a clamp-slice case
         cot = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
 
         def loss_cv(t):
