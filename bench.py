@@ -168,6 +168,8 @@ def init_variables(model, batch):
     )
     leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     total = sum(int(np.prod(l.shape)) for _, l in leaves)
+    note(f"init: traced {len(leaves)} leaves in "
+         f"{time.time() - t0:.0f}s, generating on device")
 
     # Materialize ON DEVICE: one threefry draw sliced per leaf.  A host
     # materialization + device_put of the same ~640 MB tree measured
@@ -195,12 +197,16 @@ def init_variables(model, batch):
             off += n
         return jax.tree_util.tree_unflatten(treedef, outs)
 
+    t1 = time.time()
     variables = jax.jit(gen)()
     _ = float(
         np.asarray(
             jax.tree_util.tree_leaves(variables["params"])[0]
         ).reshape(-1)[0]
     )  # force execution
+    note(f"init: generator compile+run+force {time.time() - t1:.0f}s "
+         f"(observed 5-900s across runs — tunnel-state dependent; the "
+         f"program itself compiles cold in ~10s)")
     return variables, time.time() - t0
 
 
